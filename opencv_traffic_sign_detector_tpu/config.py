@@ -1,0 +1,124 @@
+"""Typed configuration + the reference-compatible CLI string grammar.
+
+The reference encodes its detector configuration as the string
+``MSER_<delta>_<minArea>_<maxArea>_<maxVariation>`` and its classifier as
+``<FEATURES>_<REDUCER>_<CLASSIFIER>`` (reference: `Deteción de
+Objetos/main.py:37-44`, `Reconocimiento de Objetos/main.py:25-29`,
+`Reconocimiento de Objetos/constants.py:10-12`).  We keep that grammar for
+compatibility and parse into frozen dataclasses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+FEATURE_DESCRIPTORS = ("HOG", "GRAY")
+DIM_REDUCERS = ("LDA",)
+CLASSIFIERS = ("LDABAYES", "KNN", "BAYES")  # "BAYES" accepted as LDABAYES alias
+
+
+class ConfigError(ValueError):
+    """Raised when a detector/classifier string fails validation."""
+
+
+@dataclasses.dataclass(frozen=True)
+class MSERConfig:
+    """MSER region-proposal parameters (same meaning as OpenCV's)."""
+
+    delta: int = 7
+    min_area: int = 200
+    max_area: int = 2000
+    max_variation: float = 1.0
+    # TPU-specific knobs (no reference equivalent):
+    level_step: int = 1  # gray-level stride between evaluated thresholds
+    max_regions: int = 1024  # static padding capacity for proposals per frame
+    min_diversity: float = 0.2  # OpenCV default, not exposed by the grammar
+
+    def __post_init__(self) -> None:
+        if not (0 < self.delta <= 40):
+            raise ConfigError(f"delta must be in (0, 40]: {self.delta}")
+        if not (0 < self.min_area <= 20000):
+            raise ConfigError(f"min_area must be in (0, 20000]: {self.min_area}")
+        if not (0 < self.max_area <= 20000):
+            raise ConfigError(f"max_area must be in (0, 20000]: {self.max_area}")
+        if self.min_area > self.max_area:
+            raise ConfigError("min_area must be <= max_area")
+        if not (0 < self.max_variation <= 1):
+            raise ConfigError(
+                f"max_variation must be in (0, 1]: {self.max_variation}"
+            )
+
+    @classmethod
+    def from_string(cls, spec: str, **overrides) -> "MSERConfig":
+        """Parse ``MSER_<delta>_<minA>_<maxA>_<maxVar>``."""
+        parts = spec.split("_")
+        if len(parts) != 5 or parts[0] != "MSER":
+            raise ConfigError(f"bad detector spec {spec!r}; expected "
+                              "MSER_<delta>_<minArea>_<maxArea>_<maxVariation>")
+        try:
+            delta, min_a, max_a = int(parts[1]), int(parts[2]), int(parts[3])
+            max_var = float(parts[4])
+        except ValueError as e:
+            raise ConfigError(f"bad detector spec {spec!r}: {e}") from None
+        return cls(delta=delta, min_area=min_a, max_area=max_a,
+                   max_variation=max_var, **overrides)
+
+    def to_string(self) -> str:
+        var = self.max_variation
+        var_s = str(int(var)) if float(var).is_integer() else str(var)
+        return f"MSER_{self.delta}_{self.min_area}_{self.max_area}_{var_s}"
+
+
+@dataclasses.dataclass(frozen=True)
+class ClassifierConfig:
+    """Recognition-stage configuration: features -> reducer -> classifier."""
+
+    features: str = "HOG"
+    reducer: str = "LDA"
+    classifier: str = "LDABAYES"
+    knn_neighbors: int = 4
+
+    def __post_init__(self) -> None:
+        if self.features not in FEATURE_DESCRIPTORS:
+            raise ConfigError(f"unknown feature descriptor {self.features!r}")
+        if self.reducer not in DIM_REDUCERS:
+            raise ConfigError(f"unknown dimensionality reducer {self.reducer!r}")
+        if self.classifier not in ("LDABAYES", "KNN"):
+            raise ConfigError(f"unknown classifier {self.classifier!r}")
+
+    @classmethod
+    def from_string(cls, spec: str, **overrides) -> "ClassifierConfig":
+        """Parse ``<FEAT>_<REDUCER>_<CLF>`` (e.g. HOG_LDA_BAYES)."""
+        parts = spec.split("_")
+        if len(parts) != 3:
+            raise ConfigError(f"bad classifier spec {spec!r}; expected "
+                              "<FEATURES>_<REDUCER>_<CLASSIFIER>")
+        feat, red, clf = parts
+        if clf == "BAYES":  # the reference's own default string spells it BAYES
+            clf = "LDABAYES"
+        if feat not in FEATURE_DESCRIPTORS:
+            raise ConfigError(f"unknown feature descriptor {feat!r}")
+        if red not in DIM_REDUCERS:
+            raise ConfigError(f"unknown reducer {red!r}")
+        if clf not in ("LDABAYES", "KNN"):
+            raise ConfigError(f"unknown classifier {parts[2]!r}")
+        return cls(features=feat, reducer=red, classifier=clf, **overrides)
+
+    def to_string(self) -> str:
+        return f"{self.features}_{self.reducer}_{self.classifier}"
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """End-to-end pipeline configuration shared by both prácticas."""
+
+    mser: MSERConfig = dataclasses.field(default_factory=MSERConfig)
+    classifier: ClassifierConfig = dataclasses.field(
+        default_factory=ClassifierConfig
+    )
+    # Static capacity of post-filter detections per frame (padded shape).
+    max_detections: int = 128
+    # Batch of frames processed per device step.
+    batch_size: int = 8
+    # Validation split fraction for the recognition harness.
+    validation_pct: float = 0.1

@@ -1,0 +1,81 @@
+"""Host-side image I/O.
+
+Frames are decoded to BGR uint8 arrays (the channel order the whole framework
+standardises on, matching the reference's OpenCV convention so the color
+tables in :mod:`..constants` apply verbatim).
+
+Decoding uses the native C++ loader (:mod:`..runtime.loader`) when it has been
+built, falling back to PIL.  Reference equivalents: `Deteción de
+Objetos/source.py:95-108` (directory iteration skips .txt files),
+`Reconocimiento de Objetos/source.py:239-246` (dict filename -> image).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def _pil_load_bgr(path: str) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        rgb = np.asarray(im.convert("RGB"), dtype=np.uint8)
+    return rgb[..., ::-1].copy()  # RGB -> BGR
+
+
+def _native_loader():
+    try:
+        from ..runtime import loader as native
+
+        return native if native.available() else None
+    except Exception:
+        return None
+
+
+def load_image_bgr(path: str) -> np.ndarray:
+    """Decode one image file to a BGR uint8 HxWx3 array."""
+    native = _native_loader()
+    if native is not None and path.lower().endswith((".jpg", ".jpeg")):
+        img = native.decode_jpeg_bgr(path)
+        if img is not None:
+            return img
+    return _pil_load_bgr(path)
+
+
+def list_frame_files(directory: str, extensions: tuple[str, ...] = (".jpg",)) -> list[str]:
+    """Sorted frame filenames in a dataset directory (skips gt.txt etc.)."""
+    return sorted(
+        f
+        for f in os.listdir(directory)
+        if f.lower().endswith(extensions) and not f.startswith(".")
+    )
+
+
+def load_directory_images(
+    directory: str, extensions: tuple[str, ...] = (".jpg",)
+) -> dict[str, np.ndarray]:
+    """Load every frame in a directory into a dict filename -> BGR image."""
+    files = list_frame_files(directory, extensions)
+    native = _native_loader()
+    if native is not None:
+        decoded = native.decode_jpeg_bgr_batch(
+            [os.path.join(directory, f) for f in files]
+        )
+        if decoded is not None:
+            return dict(zip(files, decoded))
+    return {f: load_image_bgr(os.path.join(directory, f)) for f in files}
+
+
+def stack_frames(
+    images: dict[str, np.ndarray] | list[np.ndarray],
+) -> tuple[list[str], np.ndarray]:
+    """Stack same-shaped frames into one [B,H,W,3] uint8 batch array."""
+    if isinstance(images, dict):
+        names = sorted(images.keys())
+        arrs = [images[n] for n in names]
+    else:
+        names = [str(i) for i in range(len(images))]
+        arrs = list(images)
+    return names, np.stack(arrs, axis=0)

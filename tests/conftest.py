@@ -1,0 +1,51 @@
+"""Test configuration: force a deterministic 8-device CPU JAX platform.
+
+Sharding tests run on a virtual 8-device CPU mesh
+(xla_force_host_platform_device_count), so multi-chip code paths are
+exercised without TPUs.  Must be set before jax is first imported.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import pathlib
+
+import pytest
+
+FIXTURES = pathlib.Path(__file__).parent / "fixtures"
+REFERENCE_ROOT = pathlib.Path("/root/reference")
+DET_DATA = REFERENCE_ROOT / "Deteción de Objetos"
+REC_DATA = REFERENCE_ROOT / "Reconocimiento de Objetos"
+
+
+@pytest.fixture(scope="session")
+def fixtures_dir() -> pathlib.Path:
+    return FIXTURES
+
+
+@pytest.fixture(scope="session")
+def test_frames_dir() -> pathlib.Path:
+    d = DET_DATA / "test_alumnos_jpg"
+    if not d.is_dir():
+        pytest.skip("reference GTSDB test frames not available")
+    return d
+
+
+@pytest.fixture(scope="session")
+def train_frames_dir() -> pathlib.Path:
+    d = DET_DATA / "train_jpg"
+    if not d.is_dir():
+        pytest.skip("reference GTSDB train frames not available")
+    return d
+
+
+def require_cv2():
+    """Oracle-only dependency: several kernel tests compare against OpenCV."""
+    return pytest.importorskip("cv2")

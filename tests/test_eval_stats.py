@@ -1,0 +1,54 @@
+"""Statistics-engine parity: the reference run with MSER_7_200_2000_1 printed
+totals 65 correct / 605 incorrect / 112 non-detected / 177 expected and
+P=0.1, R=0.37, F1=0.15 (captured from a live run of the reference)."""
+
+import math
+
+import pytest
+
+from opencv_traffic_sign_detector_tpu.data.gt import load_results_file
+from opencv_traffic_sign_detector_tpu.eval.stats import (
+    TypeCounts,
+    box_match_score,
+    compute_detection_statistics,
+    sigmoid_distance_similarity,
+)
+
+
+def test_sigmoid_similarity_limits():
+    assert sigmoid_distance_similarity(5, 5, 5, 5) == 1.0
+    near = sigmoid_distance_similarity(0, 0, 1, 0)
+    mid = sigmoid_distance_similarity(0, 0, 60, 0)
+    far = sigmoid_distance_similarity(0, 0, 500, 0)
+    assert near > 0.99
+    assert near > mid > far
+    assert far < 0.1
+
+
+def test_box_match_score_geometric_mean():
+    a = (10, 10, 50, 50)
+    assert box_match_score(a, a) == 1.0
+    s = box_match_score(a, (12, 10, 50, 52))
+    assert 0.9 < s <= 1.0
+    assert box_match_score(a, (200, 200, 400, 400)) < 0.2
+
+
+def test_stats_totals_match_reference_run(fixtures_dir):
+    dets = load_results_file(
+        str(fixtures_dir / "ref_resultado_MSER_7_200_2000_1.txt")
+    )
+    stats = compute_detection_statistics(
+        dets, str(fixtures_dir / "gt_test.txt")
+    )
+    assert stats.total.correct == 65
+    assert stats.total.incorrect == 605
+    assert stats.total.non_detected == 112
+    assert stats.total.expected == 177
+    assert stats.total.precision == pytest.approx(0.1)
+    assert stats.total.recall == pytest.approx(0.37)
+    assert stats.total.f1 == pytest.approx(0.15)
+
+
+def test_typecounts_nan_when_empty():
+    c = TypeCounts()
+    assert math.isnan(c.precision) and math.isnan(c.recall) and math.isnan(c.f1)
