@@ -7,13 +7,21 @@ exercised without TPUs.  Must be set before jax is first imported.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# The container's sitecustomize registers the remote "axon" TPU backend and
+# sets jax_platforms="axon,cpu" programmatically, which routes every eager op
+# through a remote-compile tunnel (minutes per test).  Force the CPU backend
+# before anything initializes it.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
