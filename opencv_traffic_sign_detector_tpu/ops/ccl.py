@@ -1,0 +1,90 @@
+"""Connected-components labeling as a data-parallel XLA kernel.
+
+The classic union-find CCL is sequential; on TPU we use a Shiloach-Vishkin
+style iteration that converges in O(log*) rounds for blob-like shapes:
+
+    1. neighbour-min:  m[q]   = min(lab[q], lab of 4-neighbours in mask)
+    2. hook:           lab[r] = min(lab[r], m[q]) for every q with root r
+                       (a scatter-min onto current roots)
+    3. jump (x2):      lab[q] = lab[lab[q]]
+
+Labels are flat pixel indices; the component label converges to the minimum
+flat index of the component ("canonical pixel").  Background pixels carry the
+sentinel HW (one past the last pixel) so scatters land in a dump slot.
+
+This is the TPU-native replacement for the interior of OpenCV's MSER
+component tree (`mser.detectRegions`, used at `Deteción de
+Objetos/source.py:114`); level slicing is in :mod:`.mser`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _neighbor_min(lab2d: jnp.ndarray, mask2d: jnp.ndarray, big: int) -> jnp.ndarray:
+    """Min of 4-neighbour labels (masked), same shape as lab2d."""
+    pad = jnp.pad(lab2d, 1, constant_values=big)
+    mpad = jnp.pad(mask2d, 1, constant_values=False)
+
+    def nb(dy, dx):
+        l = pad[1 + dy : pad.shape[0] - 1 + dy, 1 + dx : pad.shape[1] - 1 + dx]
+        m = mpad[1 + dy : mpad.shape[0] - 1 + dy, 1 + dx : mpad.shape[1] - 1 + dx]
+        return jnp.where(m, l, big)
+
+    out = jnp.minimum(jnp.minimum(nb(-1, 0), nb(1, 0)), jnp.minimum(nb(0, -1), nb(0, 1)))
+    return jnp.where(mask2d, jnp.minimum(lab2d, out), big)
+
+
+def label_components(
+    mask: jnp.ndarray,
+    num_iters: int = 8,
+    init_labels: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Label True-regions of a [H, W] bool mask with canonical flat indices.
+
+    Returns int32 [H, W]; background pixels get H*W.  ``init_labels`` warm
+    starts from a previous (subset) mask's labels — used by the MSER level
+    sweep, where masks only grow with the threshold.
+    """
+    h, w = mask.shape
+    big = h * w
+    idx = jnp.arange(big, dtype=jnp.int32).reshape(h, w)
+    lab = jnp.where(mask, idx, big)
+    if init_labels is not None:
+        lab = jnp.where(mask & (init_labels < big), jnp.minimum(lab, init_labels), lab)
+
+    def body(_, lab2d):
+        m = _neighbor_min(lab2d, mask, big)
+        flat = lab2d.reshape(-1)
+        mflat = mask.reshape(-1)
+        # hook: scatter-min the improved label onto each pixel's current root
+        roots = jnp.where(mflat, flat, big)
+        upd = jnp.where(mflat, m.reshape(-1), big)
+        flat = jnp.append(flat, jnp.int32(big))  # dump slot for background
+        flat = flat.at[roots].min(upd)
+        flat = flat[:-1]
+        # jump twice: lab = lab[lab]
+        ext = jnp.append(flat, jnp.int32(big))
+        flat = jnp.where(flat < big, ext[jnp.minimum(flat, big)], big)
+        ext = jnp.append(flat, jnp.int32(big))
+        flat = jnp.where(flat < big, ext[jnp.minimum(flat, big)], big)
+        return flat.reshape(h, w)
+
+    lab = jax.lax.fori_loop(0, num_iters, body, lab)
+    return lab
+
+
+def component_areas(labels: jnp.ndarray, cap: int = 65535) -> jnp.ndarray:
+    """Per-pixel component size (uint16, saturating at ``cap``).
+
+    labels: int32 [H, W] with background == H*W.
+    """
+    h, w = labels.shape
+    big = h * w
+    flat = labels.reshape(-1)
+    counts = jnp.zeros((big + 1,), jnp.int32).at[flat].add(1)
+    area = counts[jnp.minimum(flat, big)]
+    area = jnp.where(flat < big, area, 0)
+    return jnp.minimum(area, cap).astype(jnp.uint16).reshape(h, w)

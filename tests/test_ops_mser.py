@@ -1,0 +1,94 @@
+"""MSER proposal quality: synthetic exact cases + OpenCV-oracle recall.
+
+OpenCV MSER's exact region set is not bit-reproducible (tie-breaking,
+min_diversity pruning), so the real-frame check asserts recall of OpenCV's
+boxes rather than set equality; end-to-end detection parity is covered by the
+pipeline tests.
+"""
+
+import numpy as np
+import pytest
+
+from conftest import require_cv2
+
+from opencv_traffic_sign_detector_tpu.config import MSERConfig
+from opencv_traffic_sign_detector_tpu.ops.mser import mser_regions
+
+
+def _iou_xywh(a, b):
+    ax1, ay1, aw, ah = a
+    bx1, by1, bw, bh = b
+    ix = max(0, min(ax1 + aw, bx1 + bw) - max(ax1, bx1))
+    iy = max(0, min(ay1 + ah, by1 + bh) - max(ay1, by1))
+    inter = ix * iy
+    union = aw * ah + bw * bh - inter
+    return inter / union if union > 0 else 0.0
+
+
+def test_dark_square_detected_exactly():
+    img = np.full((128, 128), 200, np.uint8)
+    img[20:50, 30:60] = 40  # 30x30 dark square, area 900
+    cfg = MSERConfig(delta=7, min_area=200, max_area=2000, max_variation=1.0,
+                     max_regions=64)
+    boxes, valid = mser_regions(img, cfg)
+    boxes = np.asarray(boxes)[np.asarray(valid)]
+    assert len(boxes) >= 1
+    best = max(_iou_xywh(b, (30, 20, 30, 30)) for b in boxes)
+    assert best > 0.95
+
+
+def test_bright_square_detected_via_inverted_polarity():
+    img = np.full((128, 128), 30, np.uint8)
+    img[60:90, 10:40] = 220
+    cfg = MSERConfig(delta=7, min_area=200, max_area=2000, max_variation=1.0,
+                     max_regions=64)
+    boxes, valid = mser_regions(img, cfg)
+    boxes = np.asarray(boxes)[np.asarray(valid)]
+    assert len(boxes) >= 1
+    best = max(_iou_xywh(b, (10, 60, 30, 30)) for b in boxes)
+    assert best > 0.95
+
+
+def test_area_window_respected():
+    img = np.full((128, 128), 200, np.uint8)
+    img[10:14, 10:14] = 40  # 16 px — below min_area
+    img[40:120, 30:110] = 40  # 6400 px — above max_area
+    cfg = MSERConfig(delta=5, min_area=200, max_area=2000, max_variation=1.0,
+                     max_regions=64)
+    boxes, valid = mser_regions(img, cfg)
+    boxes = np.asarray(boxes)[np.asarray(valid)]
+    for b in boxes:
+        assert _iou_xywh(b, (10, 10, 4, 4)) < 0.5
+        assert _iou_xywh(b, (30, 40, 80, 80)) < 0.5
+
+
+def test_recall_vs_opencv_on_real_crop(test_frames_dir):
+    cv2 = require_cv2()
+    img = cv2.imread(str(test_frames_dir / "00601.jpg"))
+    g = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+    g = cv2.createCLAHE(clipLimit=2).apply(g)
+    g = cv2.GaussianBlur(g, (3, 3), 0)
+    lut = np.array([((i / 255) ** 0.5) * 255 for i in range(256)], np.uint8)
+    g = cv2.LUT(g, lut)
+    crop = g[384:640, 0:256]  # contains the prohibicion sign at (82, 450)
+
+    cfg = MSERConfig(delta=7, min_area=200, max_area=2000, max_variation=1.0,
+                     max_regions=512)
+    boxes, valid = mser_regions(crop, cfg)
+    ours = np.asarray(boxes)[np.asarray(valid)]
+
+    mser = cv2.MSER_create(delta=7, min_area=200, max_area=2000,
+                           max_variation=1.0)
+    ref = mser.detectRegions(crop)[1]
+    assert len(ref) > 0
+    matched = sum(
+        1 for rb in ref if any(_iou_xywh(rb, ob) >= 0.6 for ob in ours)
+    )
+    assert matched / len(ref) >= 0.8
+    # don't over-generate unboundedly: nested duplicates are fine (downstream
+    # dedup collapses them) but stay within a small multiple
+    assert len(ours) <= 6 * len(ref) + 32
+
+    # the sign itself (GT 00601: 82,450..145,508 -> crop coords 82,66..145,124)
+    sign = (82, 66, 63, 58)
+    assert any(_iou_xywh(sign, ob) >= 0.5 for ob in ours)
