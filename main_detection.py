@@ -1,0 +1,128 @@
+#!/usr/bin/env python3
+"""Práctica-1 CLI: traffic-sign detection over a test directory.
+
+Grammar-compatible with the reference's `Deteción de Objetos/main.py`:
+
+    python main_detection.py --detector MSER_7_200_2000_1 \
+        --train_path train_jpg --test_path test_alumnos_jpg
+
+Trains the mean-mask templates from train_path, detects on every frame of
+test_path with the TPU pipeline, writes resultado.txt + annotated frames to
+resultado_imgs/, and prints per-type / total precision, recall and F1
+statistics against test_path/gt.txt.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+from opencv_traffic_sign_detector_tpu.config import (
+    ConfigError,
+    MSERConfig,
+    PipelineConfig,
+)
+from opencv_traffic_sign_detector_tpu.data.gt import boxes_by_file
+from opencv_traffic_sign_detector_tpu.data.images import (
+    list_frame_files,
+    load_image_bgr,
+)
+from opencv_traffic_sign_detector_tpu.eval.ap import score_detection_files
+from opencv_traffic_sign_detector_tpu.eval.stats import (
+    compute_detection_statistics,
+    format_stats_report,
+)
+from opencv_traffic_sign_detector_tpu.models.detector import DetectionPipeline
+from opencv_traffic_sign_detector_tpu.models.mean_masks import train_mean_masks
+from opencv_traffic_sign_detector_tpu.utils.annotate import (
+    draw_boxes_bgr,
+    save_image_bgr,
+)
+from opencv_traffic_sign_detector_tpu.utils.serialization import write_results_file
+
+USAGE_HINT = """\
+Detector spec: MSER_<delta>_<minArea>_<maxArea>_<maxVariation>
+    delta          integer in (0, 40]
+    minArea        integer in (0, 20000], <= maxArea
+    maxArea        integer in (0, 20000]
+    maxVariation   decimal in (0, 1]
+Example: MSER_5_200_3000_0.45"""
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        description="Trains and executes a detector over a set of testing images"
+    )
+    parser.add_argument("--detector", type=str, default="MSER_7_200_2000_1",
+                        help="Detector string (default: MSER_7_200_2000_1)")
+    parser.add_argument("--train_path", default="train_jpg")
+    parser.add_argument("--test_path", default="test_alumnos_jpg")
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--out", default="resultado.txt")
+    parser.add_argument("--out_imgs", default="resultado_imgs")
+    parser.add_argument("--no-images", action="store_true",
+                        help="skip writing annotated frames")
+    parser.add_argument("--per-file-stats", action="store_true")
+    args = parser.parse_args(argv)
+
+    try:
+        mser = MSERConfig.from_string(args.detector)
+    except ConfigError as e:
+        print(f"Invalid detector spec: {e}\n{USAGE_HINT}")
+        return 2
+
+    cfg = PipelineConfig(mser=mser, batch_size=args.batch_size)
+    train_path = args.train_path.replace("\\", "/")
+    test_path = args.test_path.replace("\\", "/")
+
+    print(f"[1/4] training mean-mask templates from {train_path} ...")
+    t0 = time.time()
+    templates = train_mean_masks(train_path)
+    print(f"      done in {time.time() - t0:.1f}s")
+
+    print(f"[2/4] detecting over {test_path} "
+          f"(delta={mser.delta} area=[{mser.min_area},{mser.max_area}] "
+          f"maxVar={mser.max_variation}) ...")
+    pipe = DetectionPipeline(cfg=cfg, templates=templates)
+    t0 = time.time()
+    detections = pipe.run_directory(test_path, progress=True)
+    dt = time.time() - t0
+    n_frames = len(list_frame_files(test_path))
+    print(f"      {len(detections)} detections over {n_frames} frames "
+          f"in {dt:.1f}s ({n_frames / max(dt, 1e-9):.2f} fps)")
+
+    print(f"[3/4] writing {args.out}"
+          + ("" if args.no_images else f" and {args.out_imgs}/"))
+    write_results_file(args.out, detections)
+    if not args.no_images:
+        if os.path.isdir(args.out_imgs):
+            shutil.rmtree(args.out_imgs)
+        os.mkdir(args.out_imgs)
+        per_file = boxes_by_file(detections)
+        for fname in list_frame_files(test_path):
+            img = load_image_bgr(os.path.join(test_path, fname))
+            boxes = [(d.x1, d.y1, d.x2, d.y2) for d in per_file.get(fname, [])]
+            save_image_bgr(
+                os.path.join(args.out_imgs, fname), draw_boxes_bgr(img, boxes)
+            )
+
+    gt_path = os.path.join(test_path, "gt.txt")
+    if os.path.exists(gt_path):
+        print("[4/4] statistics vs", gt_path)
+        stats = compute_detection_statistics(detections, gt_path)
+        print(format_stats_report(stats, per_file=args.per_file_stats))
+        ap = score_detection_files(args.out, gt_path)
+        print(f"\nPASCAL AP@0.5: {ap['ap']:.4f}  (11pt: {ap['ap_11pt']:.4f}, "
+              f"{ap['n_det']} detections, {ap['n_gt']} GT)")
+    else:
+        print("[4/4] no gt.txt found; skipping statistics")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

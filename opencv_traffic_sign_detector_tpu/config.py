@@ -122,3 +122,7 @@ class PipelineConfig:
     batch_size: int = 8
     # Validation split fraction for the recognition harness.
     validation_pct: float = 0.1
+    # Mask-correlation acceptance threshold (reference: 0.55).
+    mask_corr_tol: float = 0.55
+    # "No sign" probability tolerance for LDABAYES arbitration (reference: 0.5).
+    no_sign_tol: float = 0.5

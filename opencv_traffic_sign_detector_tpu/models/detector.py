@@ -1,0 +1,144 @@
+"""Práctica-1 detection pipeline: batched, fixed-shape, end-to-end on device.
+
+Per frame (all fused under one jit):
+
+    BGR [H,W,3] -> enhance_contrast -> MSER proposals [N,4]
+                -> aspect filter + 1.30 grow -> crops [N,25,25,3]
+                -> dedup (histogram pass, coords pass)
+                -> mean-mask correlation classify -> compact [D] detections
+
+The host driver only decodes JPEGs, batches frames, and serializes results —
+the reference's per-image/per-region Python loops (`Deteción de
+Objetos/source.py:95-131,611-853`) become one vmapped program over a frame
+batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PipelineConfig
+from ..constants import (
+    DEDUP_COORD_TOL,
+    DEDUP_HIST_TOL,
+    DETECT_CROP,
+    DETECT_GROW,
+    MASK_CORR_TOL,
+)
+from ..data.gt import GroundTruthBox
+from ..data.images import list_frame_files, load_image_bgr
+from ..ops.dedup import dedup_by_coords, dedup_by_histogram
+from ..ops.geometry import filter_and_grow_boxes
+from ..ops.mser import mser_regions
+from ..ops.preprocess import enhance_contrast
+from ..ops.resize import crop_and_resize
+from .mean_masks import MeanMaskTemplates, mask_correlation_classify
+
+
+def detect_frame(
+    bgr: jnp.ndarray,
+    red_templates: jnp.ndarray,
+    blue_templates: jnp.ndarray,
+    cfg: PipelineConfig,
+):
+    """One frame -> (boxes [D,4] xyxy, types [D], scores [D], valid [D])."""
+    gray = enhance_contrast(bgr)
+    props, pvalid = mser_regions(gray, cfg.mser)
+    boxes, keep = filter_and_grow_boxes(props, pvalid, DETECT_GROW)
+    crops = crop_and_resize(bgr, boxes, DETECT_CROP)
+    crops, boxes, keep = dedup_by_histogram(crops, boxes, keep, DEDUP_HIST_TOL)
+    crops, boxes, keep = dedup_by_coords(crops, boxes, keep, DEDUP_COORD_TOL)
+    types, scores, accept = mask_correlation_classify(
+        crops, red_templates, blue_templates, cfg.mask_corr_tol
+    )
+    final = keep & accept
+
+    d = cfg.max_detections
+    n = final.shape[0]
+    (idx,) = jnp.nonzero(final, size=d, fill_value=n)
+    count = jnp.sum(final)
+    valid = jnp.arange(d) < count
+    pad = lambda x, fill: jnp.concatenate([x, jnp.full((1,) + x.shape[1:], fill, x.dtype)])
+    out_boxes = pad(boxes, 0)[idx]
+    out_types = pad(types, 0)[idx]
+    out_scores = pad(scores, 0.0)[idx]
+    return out_boxes, out_types, out_scores, valid
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def detect_batch(
+    frames: jnp.ndarray,
+    red_templates: jnp.ndarray,
+    blue_templates: jnp.ndarray,
+    cfg: PipelineConfig,
+):
+    """[B, H, W, 3] -> per-frame padded detections."""
+    return jax.vmap(lambda f: detect_frame(f, red_templates, blue_templates, cfg))(
+        frames
+    )
+
+
+@dataclasses.dataclass
+class DetectionPipeline:
+    """Host-facing detector: owns the trained templates and the jitted fn."""
+
+    cfg: PipelineConfig
+    templates: MeanMaskTemplates
+
+    def detect_frames(
+        self, frames: np.ndarray, names: list[str]
+    ) -> list[GroundTruthBox]:
+        """Run a [B, H, W, 3] uint8 batch; unpad into detection records."""
+        red = jnp.asarray(self.templates.red)
+        blue = jnp.asarray(self.templates.blue)
+        boxes, types, scores, valid = detect_batch(
+            jnp.asarray(frames), red, blue, self.cfg
+        )
+        boxes = np.asarray(boxes)
+        types = np.asarray(types)
+        scores = np.asarray(scores)
+        valid = np.asarray(valid)
+        out: list[GroundTruthBox] = []
+        for b in range(frames.shape[0]):
+            for i in np.nonzero(valid[b])[0]:
+                x1, y1, x2, y2 = (int(v) for v in boxes[b, i])
+                out.append(
+                    GroundTruthBox(
+                        filename=names[b],
+                        x1=x1,
+                        y1=y1,
+                        x2=x2,
+                        y2=y2,
+                        class_id=int(types[b, i]),
+                        score=float(scores[b, i]),
+                    )
+                )
+        return out
+
+    def run_directory(
+        self, directory: str, progress: bool = False
+    ) -> list[GroundTruthBox]:
+        """Detect over every frame in a dataset directory."""
+        files = list_frame_files(directory)
+        bsz = self.cfg.batch_size
+        detections: list[GroundTruthBox] = []
+        for start in range(0, len(files), bsz):
+            chunk = files[start : start + bsz]
+            frames = np.stack(
+                [load_image_bgr(f"{directory}/{f}") for f in chunk]
+            )
+            names = list(chunk)
+            if len(chunk) < bsz:  # pad the tail batch to the static shape
+                reps = bsz - len(chunk)
+                frames = np.concatenate([frames, frames[-1:].repeat(reps, 0)])
+                names += ["__pad__"] * reps
+            dets = self.detect_frames(frames, names)
+            detections.extend(d for d in dets if d.filename != "__pad__")
+            if progress:
+                print(f"  processed {min(start + bsz, len(files))}/{len(files)} frames")
+        return detections
