@@ -1,0 +1,113 @@
+"""HOG descriptor validation.
+
+cv2 5.0 in this environment does not ship HOGDescriptor (the reference's own
+HOG path cannot run here), so instead of a binary oracle we check against an
+independent scalar re-implementation of the published OpenCV HOG algorithm
+plus analytic cases.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from opencv_traffic_sign_detector_tpu.ops.hog import (
+    gray_descriptors,
+    hog_descriptors,
+)
+
+
+def _naive_hog(img: np.ndarray) -> np.ndarray:
+    """Straightforward scalar HOG: 32x32 win, 16x16 blocks, 8 stride/cell,
+    9 signed bins, sigma 4 Gaussian, trilinear, L2-Hys (OpenCV epsilons)."""
+    f = img.astype(np.float64)
+    dx = np.zeros((32, 32))
+    dy = np.zeros((32, 32))
+    for y in range(32):
+        for x in range(32):
+            xl = 1 if x == 0 else x - 1
+            xr = 30 if x == 31 else x + 1
+            yt = 1 if y == 0 else y - 1
+            yb = 30 if y == 31 else y + 1
+            dx[y, x] = f[y, xr] - f[y, xl]
+            dy[y, x] = f[yb, x] - f[yt, x]
+    mag = np.hypot(dx, dy)
+    ang = np.arctan2(dy, dx)
+    out = []
+    sigma = 4.0
+    for by in range(3):
+        for bx in range(3):
+            hist = np.zeros((2, 2, 9))
+            for i in range(16):
+                for j in range(16):
+                    y, x = by * 8 + i, bx * 8 + j
+                    di = i - 7.5
+                    dj = j - 7.5
+                    g = math.exp(-(di * di + dj * dj) / (2 * sigma * sigma))
+                    fb = ang[y, x] * (9 / (2 * math.pi)) - 0.5
+                    b0 = math.floor(fb)
+                    w1 = fb - b0
+                    b0 = int(b0) % 9
+                    b1 = (b0 + 1) % 9
+                    cy = (i + 0.5) / 8 - 0.5
+                    cx = (j + 0.5) / 8 - 0.5
+                    iy0 = math.floor(cy)
+                    ix0 = math.floor(cx)
+                    fy = cy - iy0
+                    fx = cx - ix0
+                    for dyc, wy in ((0, 1 - fy), (1, fy)):
+                        for dxc, wx in ((0, 1 - fx), (1, fx)):
+                            yy, xx = int(iy0 + dyc), int(ix0 + dxc)
+                            if 0 <= yy < 2 and 0 <= xx < 2:
+                                w = g * wy * wx * mag[y, x]
+                                hist[yy, xx, b0] += w * (1 - w1)
+                                hist[yy, xx, b1] += w * w1
+            v = hist.reshape(-1)
+            s1 = math.sqrt((v * v).sum())
+            v = np.minimum(v / (s1 + 36 * 0.1), 0.2)
+            s2 = math.sqrt((v * v).sum())
+            v = v / (s2 + 1e-3)
+            out.append(v)
+    return np.concatenate(out).astype(np.float32)
+
+
+def test_matches_scalar_reference():
+    rng = np.random.default_rng(6)
+    crops = rng.integers(0, 256, (3, 32, 32), np.uint8)
+    ours = np.asarray(hog_descriptors(crops))
+    for i in range(len(crops)):
+        ref = _naive_hog(crops[i])
+        np.testing.assert_allclose(ours[i], ref, atol=2e-5)
+
+
+def test_uniform_image_zero_descriptor():
+    img = np.full((1, 32, 32), 137, np.uint8)
+    d = np.asarray(hog_descriptors(img))[0]
+    assert np.abs(d).max() == 0.0
+
+
+def test_horizontal_ramp_concentrates_bins():
+    ramp = np.tile(np.arange(32, dtype=np.uint8) * 4, (32, 1))
+    d = np.asarray(hog_descriptors(ramp[None]))[0].reshape(9, 4, 9)
+    # gradient points at angle 0: votes split between bins 8 and 0
+    energy = np.abs(d).sum(axis=(0, 1))
+    hot = energy[[0, 8]].sum()
+    assert hot / max(energy.sum(), 1e-9) > 0.95
+
+
+def test_shape_and_range():
+    rng = np.random.default_rng(8)
+    crops = rng.integers(0, 256, (5, 32, 32), np.uint8)
+    d = np.asarray(hog_descriptors(crops))
+    assert d.shape == (5, 324)
+    assert (d >= 0).all()
+    # L2-Hys caps the per-block post-norm values near the clip threshold
+    assert d.max() <= 0.25
+
+
+def test_gray_descriptors():
+    rng = np.random.default_rng(9)
+    crops = rng.integers(0, 256, (4, 32, 32), np.uint8)
+    g = np.asarray(gray_descriptors(crops))
+    assert g.shape == (4, 1024)
+    np.testing.assert_array_equal(g[0], crops[0].reshape(-1).astype(np.float32))
