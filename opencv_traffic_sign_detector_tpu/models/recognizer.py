@@ -1,0 +1,381 @@
+"""Práctica-2 recognition: training-data construction, classifiers, harness.
+
+Pipeline (reference `Reconocimiento de Objetos/source.py:350-482,485-641,
+646-809`):
+
+* **positives** — GT boxes cropped from the grayscale train frames, resized
+  32x32, grouped by super-type 1..6;
+* **negatives (class 0)** — MSER proposals over the train frames (the REC
+  detector variant: grow 1.15, 32x32 crops) whose max IoU against any GT box
+  of their frame is <= 0.5; proposals are cached to a versioned .npz artifact
+  (the TPU-native replacement of the reference's MSERTrain.val pickle);
+* **features** — HOG (324-d) or raw GRAY (1024-d) descriptors, batched;
+* **LDABAYES** — six binary LDA heads (each super-type vs. the full negative
+  pool) with the reference's arbitration rule; or **KNN** — a 7-class LDA
+  reduction followed by 4-NN majority vote;
+* **validation harness** — per-class shuffle, 90/10 split, fit, predict,
+  confusion matrix + classification report.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ClassifierConfig, MSERConfig, PipelineConfig
+from ..constants import (
+    DEDUP_COORD_TOL,
+    DEDUP_HIST_TOL,
+    NEGATIVE_IOU_MAX,
+    RECOG_CROP,
+    RECOG_GROW,
+    SIGN_NAMES,
+)
+from ..data.gt import load_ground_truth
+from ..data.images import list_frame_files, load_image_bgr
+from ..eval.reports import classification_report, confusion_matrix
+from ..ops.color import bgr_to_gray
+from ..ops.dedup import dedup_by_coords, dedup_by_histogram
+from ..ops.geometry import filter_and_grow_boxes, iou_matrix
+from ..ops.hog import gray_descriptors, hog_descriptors
+from ..ops.mser import mser_regions
+from ..ops.preprocess import enhance_contrast
+from ..ops.resize import crop_and_resize
+from .knn import KNNParams, knn_fit, knn_predict
+from .lda import LDAParams, lda_fit, lda_predict_proba, lda_transform
+
+PROPOSAL_CACHE_VERSION = 1
+
+
+# ---------------------------------------------------------------------------
+# Proposal extraction (the REC-variant detector) + cache artifact
+# ---------------------------------------------------------------------------
+
+def _propose_frame(bgr: jnp.ndarray, cfg: MSERConfig):
+    """One frame -> (boxes [N,4] xyxy, crops_gray [N,32,32], valid [N])."""
+    gray = enhance_contrast(bgr)
+    props, pvalid = mser_regions(gray, cfg)
+    boxes, keep = filter_and_grow_boxes(props, pvalid, RECOG_GROW)
+    crops = crop_and_resize(bgr, boxes, RECOG_CROP)
+    crops, boxes, keep = dedup_by_histogram(crops, boxes, keep, DEDUP_HIST_TOL)
+    crops, boxes, keep = dedup_by_coords(crops, boxes, keep, DEDUP_COORD_TOL)
+    crops_gray = bgr_to_gray(crops)
+    return boxes, crops_gray, keep
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _propose_batch_fn(cfg: MSERConfig):
+    return jax.jit(jax.vmap(lambda f: _propose_frame(f, cfg)))
+
+
+def extract_train_proposals(
+    train_dir: str,
+    cfg: MSERConfig,
+    cache_path: str | None = None,
+    batch_size: int = 8,
+    limit: int | None = None,
+) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+    """MSER proposals for every train frame: {fname: (boxes, gray_crops)}.
+
+    Results are memoized to ``cache_path`` (.npz), the replacement for the
+    reference's MSERTrain.val pickle (`Reconocimiento de
+    Objetos/source.py:380-398`) — regenerated automatically when absent or
+    when the config/version changes.
+    """
+    files = list_frame_files(train_dir)
+    if limit is not None:
+        files = files[:limit]
+    tag = f"v{PROPOSAL_CACHE_VERSION}:{cfg.to_string()}:{len(files)}"
+
+    if cache_path and os.path.exists(cache_path):
+        z = np.load(cache_path, allow_pickle=False)
+        if str(z.get("tag")) == tag:
+            out = {}
+            for f in files:
+                key = f.replace(".", "_")
+                out[f] = (z[f"boxes_{key}"], z[f"crops_{key}"])
+            return out
+
+    out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for start in range(0, len(files), batch_size):
+        chunk = files[start : start + batch_size]
+        frames = np.stack([load_image_bgr(os.path.join(train_dir, f)) for f in chunk])
+        pad = batch_size - len(chunk)
+        if pad:
+            frames = np.concatenate([frames, frames[-1:].repeat(pad, 0)])
+        boxes, crops, valid = _propose_batch_fn(cfg)(jnp.asarray(frames))
+        boxes, crops, valid = np.asarray(boxes), np.asarray(crops), np.asarray(valid)
+        for i, f in enumerate(chunk):
+            v = valid[i]
+            out[f] = (boxes[i][v], crops[i][v])
+
+    if cache_path:
+        payload = {"tag": np.asarray(tag)}
+        for f, (b, c) in out.items():
+            key = f.replace(".", "_")
+            payload[f"boxes_{key}"] = b
+            payload[f"crops_{key}"] = c
+        np.savez_compressed(cache_path, **payload)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Training-set assembly
+# ---------------------------------------------------------------------------
+
+def build_training_data(
+    train_dir: str,
+    gt_path: str | None = None,
+    mser_cfg: MSERConfig | None = None,
+    cache_path: str | None = None,
+    limit: int | None = None,
+    seed: int = 0,
+) -> dict[int, np.ndarray]:
+    """Class-keyed crops {0..6: [M, 32, 32] uint8 gray}, per-class shuffled.
+
+    Class 0 = mined negatives, classes 1..6 = GT positives.
+    """
+    gt_path = gt_path or os.path.join(train_dir, "gt.txt")
+    mser_cfg = mser_cfg or MSERConfig()
+    gt = load_ground_truth(gt_path, drop_unmapped=True)
+    files = set(list_frame_files(train_dir) if limit is None
+                else list_frame_files(train_dir)[:limit])
+    gt = [g for g in gt if g.filename in files]
+
+    by_frame: dict[str, list] = {}
+    for g in gt:
+        by_frame.setdefault(g.filename, []).append(g)
+
+    data: dict[int, list[np.ndarray]] = {c: [] for c in range(7)}
+
+    # positives: gray full-frame crops resized 32x32
+    for fname in sorted(by_frame):
+        bgr = load_image_bgr(os.path.join(train_dir, fname))
+        gray = np.asarray(bgr_to_gray(jnp.asarray(bgr)))
+        boxes = np.array(
+            [[g.x1, g.y1, g.x2, g.y2] for g in by_frame[fname]], np.int32
+        )
+        crops = np.asarray(
+            crop_and_resize(jnp.asarray(gray), jnp.asarray(boxes), RECOG_CROP)
+        )
+        for g, c in zip(by_frame[fname], crops):
+            data[g.class_id].append(c)
+
+    # negatives: proposals with max IoU <= 0.5 against same-frame GT
+    proposals = extract_train_proposals(
+        train_dir, mser_cfg, cache_path=cache_path, limit=limit
+    )
+    for fname, (boxes, crops) in proposals.items():
+        if len(boxes) == 0:
+            continue
+        gts = by_frame.get(fname, [])
+        if gts:
+            gt_boxes = np.array([[g.x1, g.y1, g.x2, g.y2] for g in gts], np.int32)
+            ious = np.asarray(iou_matrix(boxes, gt_boxes))
+            neg_mask = ious.max(axis=1) <= NEGATIVE_IOU_MAX
+        else:
+            neg_mask = np.ones(len(boxes), bool)
+        for c in crops[neg_mask]:
+            data[0].append(c)
+
+    rng = np.random.default_rng(seed)
+    out: dict[int, np.ndarray] = {}
+    for c in range(7):
+        arr = np.stack(data[c]) if data[c] else np.zeros((0, RECOG_CROP, RECOG_CROP), np.uint8)
+        rng.shuffle(arr, axis=0)
+        out[c] = arr
+    return out
+
+
+def split_validation(
+    data: dict[int, np.ndarray], pct: float
+) -> tuple[dict[int, np.ndarray], dict[int, np.ndarray]]:
+    """Per-class ordered split: first (1-pct) train, last pct validation."""
+    train, val = {}, {}
+    for c, arr in data.items():
+        n_val = int(np.ceil(len(arr) * pct)) if len(arr) else 0
+        cut = len(arr) - n_val
+        train[c], val[c] = arr[:cut], arr[cut:]
+    return train, val
+
+
+def compute_features(crops: np.ndarray, features: str) -> np.ndarray:
+    """[M, 32, 32] uint8 -> [M, D] float32 (HOG 324-d or GRAY 1024-d)."""
+    if len(crops) == 0:
+        d = 324 if features == "HOG" else RECOG_CROP * RECOG_CROP
+        return np.zeros((0, d), np.float32)
+    fn = hog_descriptors if features == "HOG" else gray_descriptors
+    return np.asarray(fn(jnp.asarray(crops)))
+
+
+# ---------------------------------------------------------------------------
+# Classifiers
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class SignClassifier:
+    """Trained recognition model: six binary LDA heads or LDA+KNN."""
+
+    config: ClassifierConfig
+    heads: list[LDAParams] | None = None  # LDABAYES: one per super-type
+    reducer: LDAParams | None = None  # KNN path
+    knn: KNNParams | None = None
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "config.txt"), "w") as f:
+            f.write(self.config.to_string())
+        if self.heads:
+            for i, h in enumerate(self.heads):
+                h.save(os.path.join(path, f"head_{i + 1}.npz"))
+        if self.reducer:
+            self.reducer.save(os.path.join(path, "reducer.npz"))
+        if self.knn:
+            self.knn.save(os.path.join(path, "knn.npz"))
+
+    @classmethod
+    def load(cls, path: str) -> "SignClassifier":
+        with open(os.path.join(path, "config.txt")) as f:
+            config = ClassifierConfig.from_string(f.read().strip())
+        heads = reducer = knn = None
+        if config.classifier == "LDABAYES":
+            heads = [
+                LDAParams.load(os.path.join(path, f"head_{i + 1}.npz"))
+                for i in range(6)
+            ]
+        else:
+            reducer = LDAParams.load(os.path.join(path, "reducer.npz"))
+            knn = KNNParams.load(os.path.join(path, "knn.npz"))
+        return cls(config=config, heads=heads, reducer=reducer, knn=knn)
+
+
+def fit_classifier(
+    features_by_class: dict[int, np.ndarray],
+    config: ClassifierConfig,
+) -> SignClassifier:
+    """Train the recognition model on class-keyed descriptor arrays."""
+    if config.classifier == "LDABAYES":
+        heads = []
+        negatives = features_by_class[0]
+        for t in range(1, 7):
+            pos = features_by_class[t]
+            X = np.concatenate([negatives, pos])
+            y = np.concatenate([np.zeros(len(negatives)), np.full(len(pos), t)])
+            heads.append(lda_fit(X, y))
+        return SignClassifier(config=config, heads=heads)
+
+    X = np.concatenate([features_by_class[c] for c in range(7)])
+    y = np.concatenate(
+        [np.full(len(features_by_class[c]), c) for c in range(7)]
+    )
+    reducer = lda_fit(X, y)
+    reduced = np.asarray(lda_transform(reducer, X))
+    knn = knn_fit(reduced, y, k=config.knn_neighbors)
+    return SignClassifier(config=config, reducer=reducer, knn=knn)
+
+
+def arbitrate_lda_heads(probs: jnp.ndarray, tol: float) -> jnp.ndarray:
+    """The reference's extractBestPredictions rule, vectorized.
+
+    probs: [6, N, 2] per-head (background, sign) probabilities.
+    Per instance: each head votes (max prob, 0 if background wins else its
+    type).  If no head asserts a sign with prob > tol -> class 0; otherwise
+    the sign-asserting head with the highest confidence wins (first head on
+    ties, like Python max).  (`Reconocimiento de Objetos/source.py:627-641`.)
+    """
+    no_sign_p = probs[..., 0]  # [6, N]
+    sign_p = probs[..., 1]
+    head_says_sign = sign_p >= no_sign_p  # ties -> sign (p0 > p1 is "no")
+    head_conf = jnp.maximum(no_sign_p, sign_p)
+    asserted = head_says_sign & (head_conf > tol)
+    any_sign = jnp.any(asserted, axis=0)  # [N]
+    score = jnp.where(head_says_sign, head_conf, -jnp.inf)  # [6, N]
+    best_head = jnp.argmax(score, axis=0)  # [N]
+    return jnp.where(any_sign, best_head + 1, 0).astype(jnp.int32)
+
+
+def predict_classifier(
+    clf: SignClassifier, X: np.ndarray, no_sign_tol: float = 0.5
+) -> np.ndarray:
+    """[N, D] descriptors -> [N] predicted classes 0..6."""
+    if len(X) == 0:
+        return np.zeros((0,), np.int32)
+    if clf.config.classifier == "LDABAYES":
+        probs = jnp.stack(
+            [lda_predict_proba(h, X) for h in clf.heads]
+        )  # [6, N, 2]
+        return np.asarray(arbitrate_lda_heads(probs, no_sign_tol))
+    reduced = lda_transform(clf.reducer, X)
+    return np.asarray(knn_predict(clf.knn, reduced)).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Validation harness
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class ValidationResult:
+    confusion: np.ndarray
+    report: str
+    accuracy: float
+    y_true: np.ndarray
+    y_pred: np.ndarray
+    classifier: SignClassifier
+
+
+def run_validation(
+    train_dir: str,
+    mser_cfg: MSERConfig | None = None,
+    clf_cfg: ClassifierConfig | None = None,
+    validation_pct: float = 0.1,
+    no_sign_tol: float = 0.5,
+    cache_path: str | None = None,
+    limit: int | None = None,
+    seed: int = 0,
+    verbose: bool = False,
+) -> ValidationResult:
+    """Train on (1-pct) of the per-class data, validate on the held-out pct."""
+    mser_cfg = mser_cfg or MSERConfig()
+    clf_cfg = clf_cfg or ClassifierConfig()
+
+    if verbose:
+        print("building training data (positives + mined negatives)...")
+    data = build_training_data(
+        train_dir, mser_cfg=mser_cfg, cache_path=cache_path, limit=limit,
+        seed=seed,
+    )
+    train, val = split_validation(data, validation_pct)
+
+    if verbose:
+        sizes = {c: len(v) for c, v in data.items()}
+        print(f"class sizes: {sizes}")
+        print(f"computing {clf_cfg.features} descriptors...")
+    train_feats = {c: compute_features(v, clf_cfg.features) for c, v in train.items()}
+    val_feats = {c: compute_features(v, clf_cfg.features) for c, v in val.items()}
+
+    if verbose:
+        print(f"fitting {clf_cfg.classifier} ...")
+    clf = fit_classifier(train_feats, clf_cfg)
+
+    Xv = np.concatenate([val_feats[c] for c in range(7)])
+    yv = np.concatenate([np.full(len(val_feats[c]), c) for c in range(7)])
+    rng = np.random.default_rng(seed + 1)
+    perm = rng.permutation(len(yv))
+    Xv, yv = Xv[perm], yv[perm]
+
+    y_pred = predict_classifier(clf, Xv, no_sign_tol)
+    labels = list(range(7))
+    cm = confusion_matrix(yv, y_pred, labels)
+    rep = classification_report(yv, y_pred, labels, target_names=list(SIGN_NAMES))
+    acc = float((yv == y_pred).mean()) if len(yv) else 0.0
+    return ValidationResult(
+        confusion=cm, report=rep, accuracy=acc, y_true=yv, y_pred=y_pred,
+        classifier=clf,
+    )
