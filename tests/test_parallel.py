@@ -1,0 +1,93 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from opencv_traffic_sign_detector_tpu.config import MSERConfig
+from opencv_traffic_sign_detector_tpu.parallel.mesh import (
+    DATA_AXIS,
+    batch_sharding,
+    data_mesh,
+    shard_batch,
+)
+from opencv_traffic_sign_detector_tpu.parallel.train import (
+    distributed_lda_fit,
+    distributed_train_step,
+    lda_from_statistics,
+    _class_statistics,
+)
+
+
+def test_mesh_has_8_virtual_devices():
+    assert len(jax.devices()) == 8
+    mesh = data_mesh()
+    assert mesh.shape[DATA_AXIS] == 8
+
+
+def test_shard_batch_places_across_devices():
+    mesh = data_mesh()
+    x = np.arange(8 * 4, dtype=np.float32).reshape(8, 4)
+    sx = shard_batch(mesh, x)
+    assert sx.sharding == batch_sharding(mesh)
+    assert len(set(d for d in sx.sharding.device_set)) == 8
+    np.testing.assert_array_equal(np.asarray(sx), x)
+
+
+def test_distributed_lda_fit_matches_single_device():
+    mesh = data_mesh()
+    rng = np.random.default_rng(13)
+    n, d = 8 * 50, 16
+    X = rng.normal(0, 1, (n, d)).astype(np.float32)
+    y = rng.integers(0, 7, n).astype(np.int32)
+    for c in range(7):  # make classes linearly separated
+        X[y == c, c % d] += 4.0
+    w = np.ones(n, np.float32)
+
+    fit = distributed_lda_fit(mesh)
+    coef, intercept = fit(
+        shard_batch(mesh, X), shard_batch(mesh, y), shard_batch(mesh, w)
+    )
+
+    counts, sums, sq = _class_statistics(jnp.asarray(X), jnp.asarray(y),
+                                         jnp.asarray(w))
+    coef_ref, int_ref = lda_from_statistics(counts, sums, sq)
+    np.testing.assert_allclose(np.asarray(coef), np.asarray(coef_ref),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(intercept), np.asarray(int_ref),
+                               rtol=2e-3, atol=2e-2)
+
+    # and the fit actually classifies the synthetic classes
+    scores = X @ np.asarray(coef).T + np.asarray(intercept)
+    assert (scores.argmax(1) == y).mean() > 0.9
+
+
+def test_distributed_train_step_compiles_and_runs():
+    """Full SPMD train step (MSER -> HOG -> psum LDA) on tiny frames."""
+    mesh = data_mesh()
+    cfg = MSERConfig(min_area=60, max_area=1200, max_variation=1.0,
+                     max_regions=32)
+    step = distributed_train_step(mesh, cfg)
+
+    rng = np.random.default_rng(14)
+    b, h, w, g = 8, 96, 96, 2
+    frames = rng.integers(90, 140, (b, h, w, 3), np.uint8)
+    gt_boxes = np.zeros((b, g, 4), np.int32)
+    gt_types = np.zeros((b, g), np.int32)
+    for i in range(b):
+        x, y = 20 + (i % 3) * 10, 30
+        frames[i, y : y + 24, x : x + 24] = 25
+        gt_boxes[i, 0] = (x, y, x + 24, y + 24)
+        gt_types[i, 0] = 1 + (i % 6)
+
+    coef, intercept, counts = step(
+        shard_batch(mesh, frames),
+        shard_batch(mesh, gt_boxes),
+        shard_batch(mesh, gt_types),
+    )
+    coef = np.asarray(coef)
+    assert coef.shape == (7, 324)
+    assert np.isfinite(coef).all()
+    assert np.isfinite(np.asarray(intercept)).all()
+    assert np.asarray(counts).sum() > 0
