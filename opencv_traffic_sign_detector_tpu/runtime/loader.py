@@ -1,0 +1,119 @@
+"""ctypes binding for the native JPEG loader (with transparent fallback).
+
+``available()`` is False until runtime/build.py has produced the shared
+library; callers (data/images.py) fall back to PIL automatically.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_HERE, "libtsd_loader.so")
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        from .build import build
+
+        if build(verbose=False) is None:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.tsd_decode_jpeg_bgr.restype = ctypes.c_int
+    lib.tsd_decode_jpeg_bgr.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.tsd_decode_jpeg_bgr_batch.restype = ctypes.c_int
+    lib.tsd_decode_jpeg_bgr_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def probe_size(path: str) -> tuple[int, int] | None:
+    lib = _load()
+    if lib is None:
+        return None
+    h = ctypes.c_int32(0)
+    w = ctypes.c_int32(0)
+    rc = lib.tsd_decode_jpeg_bgr(
+        path.encode(), None, 0, ctypes.byref(h), ctypes.byref(w)
+    )
+    return (h.value, w.value) if rc == 0 else None
+
+
+def decode_jpeg_bgr(path: str) -> np.ndarray | None:
+    lib = _load()
+    if lib is None:
+        return None
+    size = probe_size(path)
+    if size is None:
+        return None
+    h, w = size
+    buf = np.empty((h, w, 3), np.uint8)
+    oh = ctypes.c_int32(0)
+    ow = ctypes.c_int32(0)
+    rc = lib.tsd_decode_jpeg_bgr(
+        path.encode(),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        buf.nbytes,
+        ctypes.byref(oh),
+        ctypes.byref(ow),
+    )
+    return buf if rc == 0 else None
+
+
+def decode_jpeg_bgr_batch(
+    paths: list[str], n_threads: int | None = None
+) -> list[np.ndarray] | None:
+    """Decode same-sized JPEGs in parallel; None on any setup failure."""
+    lib = _load()
+    if lib is None or not paths:
+        return None
+    size = probe_size(paths[0])
+    if size is None:
+        return None
+    h, w = size
+    n = len(paths)
+    buf = np.empty((n, h, w, 3), np.uint8)
+    status = np.zeros(n, np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    if n_threads is None:
+        n_threads = min(8, os.cpu_count() or 1)
+    bad = lib.tsd_decode_jpeg_bgr_batch(
+        arr,
+        n,
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h,
+        w,
+        n_threads,
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if bad:  # mixed sizes or decode errors: let the caller fall back
+        return None
+    return [buf[i] for i in range(n)]
