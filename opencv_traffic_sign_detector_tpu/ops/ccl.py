@@ -76,6 +76,63 @@ def label_components(
     return lab
 
 
+def _segmented_min_1d(vals: jnp.ndarray, mask: jnp.ndarray, big: int,
+                      axis: int, reverse: bool) -> jnp.ndarray:
+    """Running min within contiguous True-runs of ``mask`` along ``axis``.
+
+    Classic segmented-scan semiring: elements are (value, barrier); a barrier
+    (background pixel) cuts propagation.  log-depth associative_scan — pure
+    vector ops, no gather/scatter (the TPU-friendly propagation primitive).
+    """
+    v = jnp.where(mask, vals, big)
+    barrier = ~mask
+
+    def comb(a, b):
+        va, ba = a
+        vb, bb = b
+        return jnp.where(bb, vb, jnp.minimum(va, vb)), ba | bb
+
+    out, _ = jax.lax.associative_scan(comb, (v, barrier), axis=axis,
+                                      reverse=reverse)
+    return out
+
+
+def label_components_scan(
+    mask: jnp.ndarray,
+    num_iters: int = 4,
+    init_labels: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Scatter/gather-free CCL via alternating row/column segmented scans.
+
+    Each iteration takes the full-run minimum along rows then columns; labels
+    flow around corners one alternation at a time, so convergence needs
+    roughly the "turn count" of the most serpentine component.  Blob/ring
+    shapes (traffic signs) converge in <= 3-4 alternations; the MSER sweep
+    warm-starts from the previous level which cuts it further.  Semantics
+    match :func:`label_components` (canonical = min flat index) once
+    converged.
+    """
+    h, w = mask.shape
+    big = h * w
+    idx = jnp.arange(big, dtype=jnp.int32).reshape(h, w)
+    lab = jnp.where(mask, idx, big)
+    if init_labels is not None:
+        lab = jnp.where(mask & (init_labels < big), jnp.minimum(lab, init_labels), lab)
+
+    def body(_, lab2d):
+        m = jnp.minimum(
+            _segmented_min_1d(lab2d, mask, big, axis=1, reverse=False),
+            _segmented_min_1d(lab2d, mask, big, axis=1, reverse=True),
+        )
+        m = jnp.minimum(
+            _segmented_min_1d(m, mask, big, axis=0, reverse=False),
+            _segmented_min_1d(m, mask, big, axis=0, reverse=True),
+        )
+        return jnp.where(mask, m, big)
+
+    return jax.lax.fori_loop(0, num_iters, body, lab)
+
+
 def component_areas(labels: jnp.ndarray, cap: int = 65535) -> jnp.ndarray:
     """Per-pixel component size (uint16, saturating at ``cap``).
 

@@ -94,3 +94,36 @@ def test_component_areas():
     assert areas[3, 3] == 9
     assert areas[8, 10] == 8
     assert areas[0, 0] == 0
+
+
+def test_scan_ccl_matches_hook_ccl():
+    from opencv_traffic_sign_detector_tpu.ops.ccl import label_components_scan
+
+    rng = np.random.default_rng(21)
+    # subcritical noise (small blobs): few alternations suffice; near the
+    # percolation threshold components are serpentine and need ~turn-count
+    # iterations — that's the documented contract of the scan variant
+    for p, iters in ((0.3, 8), (0.55, 48)):
+        mask = rng.random((64, 64)) < p
+        ours = np.asarray(label_components_scan(mask, num_iters=iters))
+        ref = np.asarray(label_components(mask, num_iters=12))
+        np.testing.assert_array_equal(ours, ref)
+
+
+def test_scan_ccl_ring_and_warm_start():
+    from opencv_traffic_sign_detector_tpu.ops.ccl import label_components_scan
+
+    yy, xx = np.mgrid[0:48, 0:48]
+    r = np.hypot(yy - 24, xx - 24)
+    mask = ((r > 8) & (r < 14)) | (r < 4)
+    ours = np.asarray(label_components_scan(mask, num_iters=4))
+    ref = np.asarray(label_components(mask, num_iters=12))
+    np.testing.assert_array_equal(ours, ref)
+
+    # warm start on sparse (sub-percolation) masks: prev-level labels carry
+    # over and the result matches the converged hook-CCL reference
+    img = np.random.default_rng(22).integers(0, 255, (48, 48), np.uint8)
+    prev = label_components_scan(img <= 40, num_iters=8)
+    warm = np.asarray(label_components_scan(img <= 60, num_iters=4, init_labels=prev))
+    ref2 = np.asarray(label_components(img <= 60, num_iters=14))
+    np.testing.assert_array_equal(warm, ref2)
