@@ -46,6 +46,10 @@ def main(argv=None) -> int:
     parser.add_argument("--limit", type=int, default=None,
                         help="limit training frames (debugging)")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--run_test", action="store_true",
+                        help="after training, run the recognizer over "
+                             "test_path and write resultado.txt")
+    parser.add_argument("--out", default="resultado.txt")
     args = parser.parse_args(argv)
 
     try:
@@ -79,6 +83,27 @@ def main(argv=None) -> int:
 
     result.classifier.save(args.model_out)
     print(f"model saved to {args.model_out}/")
+
+    if args.run_test:
+        from opencv_traffic_sign_detector_tpu.config import PipelineConfig
+        from opencv_traffic_sign_detector_tpu.models.rec_pipeline import (
+            RecognitionPipeline,
+        )
+        from opencv_traffic_sign_detector_tpu.utils.serialization import (
+            write_results_file,
+        )
+
+        test_path = args.test_path.replace("\\", "/")
+        print(f"\nrunning recognizer over {test_path} ...")
+        pipe = RecognitionPipeline(
+            cfg=PipelineConfig(mser=mser, no_sign_tol=args.no_sign_tol),
+            classifier=result.classifier,
+        )
+        t0 = time.time()
+        dets = pipe.run_directory(test_path, progress=True)
+        print(f"{len(dets)} detections in {time.time() - t0:.1f}s; "
+              f"writing {args.out}")
+        write_results_file(args.out, dets)
     return 0
 
 

@@ -1,0 +1,86 @@
+"""Fused recognition inference: head stacking + device/host consistency."""
+
+import numpy as np
+import pytest
+
+from opencv_traffic_sign_detector_tpu.config import (
+    ClassifierConfig,
+    MSERConfig,
+    PipelineConfig,
+)
+from opencv_traffic_sign_detector_tpu.models.rec_pipeline import (
+    RecognitionPipeline,
+    _stack_heads,
+    classify_crops_lda,
+)
+from opencv_traffic_sign_detector_tpu.models.recognizer import (
+    fit_classifier,
+    predict_classifier,
+)
+
+
+def _features(seed=0, per=40, d=24):
+    rng = np.random.default_rng(seed)
+    feats = {}
+    for c in range(7):
+        center = np.zeros(d)
+        if c > 0:
+            center[c] = 5.0
+        feats[c] = (center + rng.normal(0, 0.7, (per, d))).astype(np.float32)
+    return feats
+
+
+def test_fused_heads_match_per_head_prediction():
+    feats = _features()
+    clf = fit_classifier(feats, ClassifierConfig.from_string("HOG_LDA_LDABAYES"))
+    X = np.concatenate([feats[c][:10] for c in range(7)])
+    coefs, ints = _stack_heads(clf)
+    labels, conf = classify_crops_lda(X, coefs, ints, tol=0.5)
+    ref = predict_classifier(clf, X, no_sign_tol=0.5)
+    np.testing.assert_array_equal(np.asarray(labels), ref)
+    conf = np.asarray(conf)
+    assert ((conf >= 0) & (conf <= 1)).all()
+
+
+def test_knn_pipeline_rejected():
+    feats = _features(seed=1)
+    clf = fit_classifier(feats, ClassifierConfig.from_string("HOG_LDA_KNN"))
+    with pytest.raises(NotImplementedError):
+        RecognitionPipeline(cfg=PipelineConfig(), classifier=clf)
+
+
+def test_recognize_frames_smoke(test_frames_dir, train_frames_dir):
+    """Real-data smoke: train on a few crops, recognize in a frame region."""
+    cv2 = pytest.importorskip("cv2")
+    import os
+
+    from opencv_traffic_sign_detector_tpu.ops.hog import hog_descriptors
+
+    # quick LDABAYES trained on a handful of real crops per type + noise
+    rng = np.random.default_rng(2)
+    feats = {0: np.asarray(
+        hog_descriptors(rng.integers(0, 256, (60, 32, 32), np.uint8))
+    )}
+    for t, d in ((1, "02"), (2, "11"), (3, "14"), (4, "17"), (5, "13"), (6, "38")):
+        droot = os.path.join(str(train_frames_dir), d)
+        crops = []
+        for f in sorted(os.listdir(droot))[:12]:
+            img = cv2.imread(os.path.join(droot, f))
+            crops.append(cv2.cvtColor(cv2.resize(img, (32, 32)), cv2.COLOR_BGR2GRAY))
+        feats[t] = np.asarray(hog_descriptors(np.stack(crops)))
+    clf = fit_classifier(feats, ClassifierConfig.from_string("HOG_LDA_LDABAYES"))
+
+    img = cv2.imread(str(test_frames_dir / "00601.jpg"))
+    region = np.ascontiguousarray(img[384:640, 0:512])
+    pipe = RecognitionPipeline(
+        cfg=PipelineConfig(
+            mser=MSERConfig(max_variation=1.0, max_regions=256),
+            max_detections=32,
+            batch_size=1,
+        ),
+        classifier=clf,
+    )
+    dets = pipe.recognize_frames(region[None], ["region.jpg"])
+    for d in dets:
+        assert 1 <= d.class_id <= 6
+        assert 0.0 <= d.score <= 1.0
