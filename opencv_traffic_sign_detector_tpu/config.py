@@ -30,9 +30,11 @@ class MSERConfig:
     max_area: int = 2000
     max_variation: float = 1.0
     # TPU-specific knobs (no reference equivalent):
-    level_step: int = 1  # gray-level stride between evaluated thresholds
+    level_step: int = 0  # gray-level threshold stride; 0 = auto (= delta)
     max_regions: int = 1024  # static padding capacity for proposals per frame
     min_diversity: float = 0.2  # OpenCV default, not exposed by the grammar
+    ccl_mode: str = "hook"  # "hook" (scatter-min union) | "scan" (segmented)
+    ccl_iters: int = 8
 
     def __post_init__(self) -> None:
         if not (0 < self.delta <= 40):

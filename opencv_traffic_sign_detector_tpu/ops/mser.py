@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import MSERConfig
-from .ccl import component_areas, label_components
+from .ccl import component_areas, label_components, label_components_scan
 
 # Static window size for bbox refinement; components are bounded by
 # max_area <= 20000 but sign-shaped regions at the default max_area=2000 fit
@@ -45,7 +45,12 @@ from .ccl import component_areas, label_components
 _WIN = 128
 
 
-def _level_stack(im: jnp.ndarray, levels, ccl_iters: int, d_idx: int):
+def _label_fn(mode: str):
+    return label_components_scan if mode == "scan" else label_components
+
+
+def _level_stack(im: jnp.ndarray, levels, ccl_iters: int, d_idx: int,
+                 ccl_mode: str = "hook"):
     """Run the warm-started CCL sweep.
 
     Returns (areas u16 [L,H,W], canonical bool [L,H,W], hist u16 [L,H,W])
@@ -65,15 +70,15 @@ def _level_stack(im: jnp.ndarray, levels, ccl_iters: int, d_idx: int):
     def step(carry, level):
         lab_prev, ring = carry
         mask = im <= level.astype(im.dtype)
-        lab = label_components(mask, num_iters=ccl_iters, init_labels=lab_prev)
+        lab = _label_fn(ccl_mode)(mask, num_iters=ccl_iters, init_labels=lab_prev)
         area = component_areas(lab)
         canon = mask & (lab == idx2d)
         # Component-max of the area d levels back: the largest history chain.
-        old = ring[0].reshape(-1)
+        old = ring[0].reshape(-1).astype(jnp.int32)
         flat = lab.reshape(-1)
-        scat = jnp.zeros((big + 1,), jnp.uint16).at[flat].max(old)
+        scat = jnp.zeros((big + 1,), jnp.int32).at[flat].max(old)
         hist = scat[jnp.minimum(flat, big)]
-        hist = jnp.where(flat < big, hist, 0).reshape(h, w)
+        hist = jnp.where(flat < big, hist, 0).astype(jnp.uint16).reshape(h, w)
         ring = jnp.concatenate([ring[1:], area[None]], axis=0)
         return (lab, ring), (area, canon, hist)
 
@@ -100,7 +105,7 @@ def _stability(areas: jnp.ndarray, hist: jnp.ndarray, d_idx: int) -> jnp.ndarray
 
 
 def _refine_boxes(gray: jnp.ndarray, seeds_yx: jnp.ndarray, levels: jnp.ndarray,
-                  polarity: jnp.ndarray, ccl_iters: int):
+                  polarity: jnp.ndarray, ccl_iters: int, ccl_mode: str = "hook"):
     """Per candidate: local CCL in a _WIN window at its level; bbox of the
     seed's component.  seeds_yx [N,2] int32, levels [N] int32, polarity [N]
     (0=dark, 1=bright) -> boxes_xywh [N,4] int32."""
@@ -115,7 +120,7 @@ def _refine_boxes(gray: jnp.ndarray, seeds_yx: jnp.ndarray, levels: jnp.ndarray,
         win = jax.lax.dynamic_slice(gray, (y0, x0), (win_h, win_w))
         win = jnp.where(pol == 1, jnp.uint8(255) - win, win)
         mask = win <= level.astype(gray.dtype)
-        lab = label_components(mask, num_iters=ccl_iters)
+        lab = _label_fn(ccl_mode)(mask, num_iters=ccl_iters)
         seed_lab = lab[y - y0, x - x0]
         sel = lab == seed_lab
         rows = jax.lax.broadcasted_iota(jnp.int32, (win_h, win_w), 0)
@@ -145,12 +150,13 @@ def mser_regions(gray: jnp.ndarray, cfg: MSERConfig):
     d_idx = max(1, round(cfg.delta / s))
     levels = list(range(0, 256, s))
     L = len(levels)
-    ccl_iters = 8
+    ccl_iters = cfg.ccl_iters
 
     cand_scores = []
     for pol in (0, 1):
         im = gray if pol == 0 else jnp.uint8(255) - gray
-        areas, canon, hist = _level_stack(im, levels, ccl_iters, d_idx)
+        areas, canon, hist = _level_stack(im, levels, ccl_iters, d_idx,
+                                          cfg.ccl_mode)
         v = _stability(areas, hist, d_idx)
         a = areas.astype(jnp.int32)
         inf = jnp.float32(jnp.inf)
@@ -180,7 +186,8 @@ def mser_regions(gray: jnp.ndarray, cfg: MSERConfig):
     level_vals = jnp.asarray(levels, jnp.int32)[lvl_idx]
     seeds = jnp.stack([q // w, q - (q // w) * w], axis=-1).astype(jnp.int32)
 
-    boxes = _refine_boxes(gray, seeds, level_vals, pol_idx, ccl_iters)
+    boxes = _refine_boxes(gray, seeds, level_vals, pol_idx, ccl_iters,
+                          cfg.ccl_mode)
     boxes = jnp.where(valid[:, None], boxes, 0)
     return boxes.astype(jnp.int32), valid
 
