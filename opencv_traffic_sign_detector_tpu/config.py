@@ -33,8 +33,8 @@ class MSERConfig:
     level_step: int = 0  # gray-level threshold stride; 0 = auto (= delta)
     max_regions: int = 1024  # static padding capacity for proposals per frame
     min_diversity: float = 0.2  # OpenCV default, not exposed by the grammar
-    ccl_mode: str = "hook"  # "hook" (scatter-min union) | "scan" (segmented)
-    ccl_iters: int = 8
+    ccl_mode: str = "roll"  # propagation kernel flavor (informational in v2)
+    ccl_iters: int = 16
 
     def __post_init__(self) -> None:
         if not (0 < self.delta <= 40):

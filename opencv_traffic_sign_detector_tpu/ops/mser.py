@@ -1,32 +1,40 @@
-"""MSER region proposal as a TPU-native level-sliced CCL sweep.
+"""MSER region proposal as a TPU-native level-sliced sweep (v2).
 
 OpenCV's MSER builds a sequential component tree (union-find over a pixel
-flood).  That shape is hostile to SIMD hardware, so this module re-derives
-maximally-stable regions from first principles in a data-parallel form:
+flood).  That shape is hostile to SIMD hardware; this module re-derives
+maximally-stable regions in a data-parallel form built around one idea:
 
-1. **Level sweep** — for thresholds ``l`` in steps of the stability delta,
-   binarize ``im <= l`` and label components with the iterative CCL kernel
-   (:mod:`.ccl`), warm-starting each level from the previous one (masks only
-   grow with ``l``, so labels carry over and convergence is fast).
-2. **Per-pixel stability** — for every pixel q tracked through the level
-   stack, the containing-component areas ``a[l, q]`` give the Matas variation
-   ``V = (a[l+Δ] - a[l-Δ]) / a[l]``, evaluated at the component's canonical
-   pixel.  Candidates are canonical pixels whose V is below max_variation,
-   a local minimum across levels, with area inside [min_area, max_area].
-3. **Bbox refinement** — each extracted candidate re-labels a fixed window
-   around its seed at its level and takes the bounding box of the seed's
-   component (components are area-bounded, so a static window suffices).
+**Composite seed keys.**  Every pixel carries the permanent key
+``intensity * H*W + flat_index``.  The component-wise minimum of these keys
+(computed by the roll-based propagation kernel, :func:`..ops.ccl.
+propagate_min_keys`) identifies each component by its *darkest* pixel — the
+flood-fill seed of the classic algorithm.  That anchor makes the whole
+stability bookkeeping elementwise:
 
-Both polarities run (dark-on-bright via ``im`` and bright-on-dark via
-``255 - im``), matching OpenCV's two-pass grayscale behaviour.  Output is a
-fixed-capacity padded tensor of xywh boxes + validity mask, ordered by
-stability — the fixed-shape contract the rest of the jitted pipeline needs.
+* canonical mask: a pixel is its component's anchor iff ``key % HW == idx``;
+* component area at the anchor: the scatter-add count table is indexed by
+  anchor pixel, so the anchor reads its own area *in place*;
+* Matas variation ``V = (A[l+Δ] - A[l-Δ]) / A[l]`` evaluated on the seed
+  chain: ``A[l±Δ]`` are per-pixel area maps read at the same anchor pixel —
+  the seed is in the mask from its birth level on, so the history is always
+  the seed-path sub-component (no scatter-max over components needed).
+
+The level sweep is one ``lax.scan`` (warm-started keys; masks only grow), a
+sliding window of per-pixel area/variation maps evaluates stability two
+levels behind the sweep front, and candidates exit as one compact byte map
+per level (quantized stability), top-k'd into the padded proposal tensor.
+Both polarities run stacked as a leading batch dim (dark-on-bright and
+bright-on-dark, matching OpenCV's two-pass grayscale behaviour).
+
+Per level the only non-elementwise ops are one scatter-add (area counts)
+and one gather (per-pixel area map) — everything else is rolls and vector
+math, the fast path on this hardware.
 
 Replaces `cv2.MSER_create` / `mser.detectRegions` (`Deteción de
 Objetos/source.py:639,114`; `Reconocimiento de Objetos/source.py:43,50`).
 Exact region sets are not bit-reproducible vs OpenCV (tie-breaking and
 per-level evaluation differ); parity is validated at the detection-quality
-level (proposal recall over the GTSDB frames, tests/test_ops_mser.py).
+level (proposal recall and end-to-end F1/AP over the GTSDB frames).
 """
 
 from __future__ import annotations
@@ -37,95 +45,116 @@ import jax
 import jax.numpy as jnp
 
 from ..config import MSERConfig
-from .ccl import component_areas, label_components, label_components_scan
+from .ccl import propagate_min_keys
 
-# Static window size for bbox refinement; components are bounded by
-# max_area <= 20000 but sign-shaped regions at the default max_area=2000 fit
-# comfortably in 128x128.
+# Static window size for bbox refinement; sign-scale components at the
+# default max_area=2000 fit comfortably in 128x128.
 _WIN = 128
 
 
-def _label_fn(mode: str):
-    return label_components_scan if mode == "scan" else label_components
+def _level_sweep(im2: jnp.ndarray, levels, cfg: MSERConfig, d_idx: int):
+    """Scan over thresholds; emit per-level quantized-stability byte maps.
 
-
-def _level_stack(im: jnp.ndarray, levels, ccl_iters: int, d_idx: int,
-                 ccl_mode: str = "hook"):
-    """Run the warm-started CCL sweep.
-
-    Returns (areas u16 [L,H,W], canonical bool [L,H,W], hist u16 [L,H,W])
-    where hist[l, q] is the size of the largest sub-component of q's current
-    component as of level l - d_idx (the "history" area the Matas variation
-    compares against; 0 if the component is younger than d_idx levels).
+    im2: [2, H, W] int32 (polarity-stacked intensities).
+    Returns sb u8 [L, 2, H*W]: 0 = not a candidate, else 255 - quantized V
+    (higher byte = more stable), emitted at each component's anchor pixel
+    for level ``levels[t] - 2*d_idx*step`` at scan step t.
     """
-    h, w = im.shape
-    big = h * w
-    idx2d = jnp.arange(big, dtype=jnp.int32).reshape(h, w)
+    p, h, w = im2.shape
+    hw = h * w
+    big = 256 * hw
+    d = d_idx
+    idx = jnp.arange(hw, dtype=jnp.int32).reshape(1, h, w)
+    keys0 = im2 * hw + idx  # permanent per-pixel composite key
+    pol_off = (jnp.arange(p, dtype=jnp.int32) * (hw + 1)).reshape(p, 1, 1)
     levels_arr = jnp.asarray(levels, dtype=jnp.int32)
-
-    # derive the scan carries from `im` (zeros_like keeps shard_map's
-    # varying-axis typing consistent between carry input and output)
-    ring0 = jnp.tile(jnp.zeros_like(im, dtype=jnp.uint16)[None], (d_idx, 1, 1))
-
-    def step(carry, level):
-        lab_prev, ring = carry
-        mask = im <= level.astype(im.dtype)
-        lab = _label_fn(ccl_mode)(mask, num_iters=ccl_iters, init_labels=lab_prev)
-        area = component_areas(lab)
-        canon = mask & (lab == idx2d)
-        # Component-max of the area d levels back: the largest history chain.
-        old = ring[0].reshape(-1).astype(jnp.int32)
-        flat = lab.reshape(-1)
-        scat = jnp.zeros((big + 1,), jnp.int32).at[flat].max(old)
-        hist = scat[jnp.minimum(flat, big)]
-        hist = jnp.where(flat < big, hist, 0).astype(jnp.uint16).reshape(h, w)
-        ring = jnp.concatenate([ring[1:], area[None]], axis=0)
-        return (lab, ring), (area, canon, hist)
-
-    init = (jnp.full_like(im, big, dtype=jnp.int32), ring0)
-    _, (areas, canon, hist) = jax.lax.scan(step, init, levels_arr)
-    return areas, canon, hist
-
-
-def _stability(areas: jnp.ndarray, hist: jnp.ndarray, d_idx: int) -> jnp.ndarray:
-    """V[l] = (a[l+d] - hist[l]) / a[l] per pixel; +inf where undefined.
-
-    a[l+d] is read at the same pixel (the parent component at l+d contains
-    the whole current component, so any member pixel sees the parent's area);
-    hist is the component-max sub-area from d levels back.  Components
-    younger than d levels have hist == 0, giving V >= a_plus/a >= 1 — they
-    only become eligible once they have enough history, like the classic
-    algorithm's growth records.
-    """
-    a = areas.astype(jnp.float32)
     inf = jnp.float32(jnp.inf)
-    a_plus = jnp.concatenate([a[d_idx:], jnp.tile(a[-1:], (d_idx, 1, 1))], 0)
-    v = jnp.where(a > 0, (a_plus - hist.astype(jnp.float32)) / jnp.maximum(a, 1.0), inf)
-    return v
+
+    # Forward variation (matching the classic implementation):
+    #   V[l] = (A[l+d] - A[l]) / A[l]
+    # so a region is eligible from its birth level on.  Sliding rings
+    # (oldest first):
+    #   a_ring  [d+1] = A[t-d-1] .. A[t-1]     per-pixel component areas
+    #   v_ring  [2]   = V[t-d-2], V[t-d-1]     per-pixel variations
+    #   c_ring  [d+1] = canon[t-d-1] .. canon[t-1]
+    # At step t we compute A[t] and V[t-d], then emit candidates for level
+    # t-d-1 (centre V with both level-neighbours known).
+    def step(carry, level):
+        keys_prev, a_ring, v_ring, c_ring = carry
+        mask = im2 <= level
+        keys_in = jnp.where(mask, jnp.minimum(keys_prev, keys0), big)
+        keys = propagate_min_keys(
+            keys_in, mask, big,
+            num_rolls=cfg.ccl_iters, num_jumps=1,
+        )
+        anchor = keys % hw
+        canon = mask & (anchor == idx)
+
+        # area counts indexed by anchor pixel (dump slot per polarity)
+        slot = jnp.where(mask, anchor, hw) + pol_off
+        counts = jnp.zeros((p * (hw + 1),), jnp.int32).at[slot.reshape(-1)].add(1)
+        a_cur = counts[slot.reshape(-1)].reshape(p, h, w)
+        a_cur = jnp.where(mask, jnp.minimum(a_cur, 65535), 0).astype(jnp.uint16)
+
+        # V[t-d] = (A[t] - A[t-d]) / A[t-d] on the seed chain
+        a_td = a_ring[1].astype(jnp.float32) if d > 0 else a_cur  # A[t-d]
+        v_new = jnp.where(
+            a_td > 0,
+            (a_cur.astype(jnp.float32) - a_td) / jnp.maximum(a_td, 1.0),
+            inf,
+        )
+
+        # candidates for level c = t-d-1
+        v_c = v_ring[1]
+        area_c = a_ring[0].astype(jnp.int32)  # A[t-d-1]
+        cand = (
+            c_ring[0]
+            & (area_c >= cfg.min_area)
+            & (area_c <= cfg.max_area)
+            & (v_c < cfg.max_variation)
+            & (v_c <= v_ring[0])
+            & (v_c <= v_new)
+        )
+        qv = jnp.clip(254.0 - jnp.floor(v_c * 253.0), 1.0, 254.0)
+        sb = jnp.where(cand, qv, 0.0).astype(jnp.uint8).reshape(p, hw)
+
+        a_ring = jnp.concatenate([a_ring[1:], a_cur[None]], axis=0)
+        v_ring = jnp.stack([v_ring[1], v_new])
+        c_ring = jnp.concatenate([c_ring[1:], canon[None]], axis=0)
+        return (keys, a_ring, v_ring, c_ring), sb
+
+    init = (
+        jnp.where(im2 < 0, keys0, big),  # varying-typed "all background"
+        jnp.tile(jnp.zeros_like(im2, dtype=jnp.uint16)[None], (d + 1, 1, 1, 1)),
+        jnp.tile(jnp.full_like(im2, jnp.inf, dtype=jnp.float32)[None], (2, 1, 1, 1)),
+        jnp.tile(jnp.zeros_like(im2, dtype=bool)[None], (d + 1, 1, 1, 1)),
+    )
+    _, sb = jax.lax.scan(step, init, levels_arr)
+    return sb  # [L, 2, HW]
 
 
-def _refine_boxes(gray: jnp.ndarray, seeds_yx: jnp.ndarray, levels: jnp.ndarray,
-                  polarity: jnp.ndarray, ccl_iters: int, ccl_mode: str = "hook"):
-    """Per candidate: local CCL in a _WIN window at its level; bbox of the
-    seed's component.  seeds_yx [N,2] int32, levels [N] int32, polarity [N]
-    (0=dark, 1=bright) -> boxes_xywh [N,4] int32."""
-    h, w = gray.shape
+def _refine_boxes(im2: jnp.ndarray, seeds_yx: jnp.ndarray, levels: jnp.ndarray,
+                  polarity: jnp.ndarray, num_rolls: int):
+    """Per candidate: local roll-CCL in a window centred on its anchor at its
+    level; bbox of the anchor's component.  -> boxes_xywh [N, 4] int32."""
+    _, h, w = im2.shape
     win_h = min(_WIN, h)
     win_w = min(_WIN, w)
+    big = win_h * win_w + 1
 
     def one(seed, level, pol):
         y, x = seed[0], seed[1]
-        y0 = jnp.clip(y - 2, 0, max(h - win_h, 0))
+        y0 = jnp.clip(y - win_h // 2, 0, max(h - win_h, 0))
         x0 = jnp.clip(x - win_w // 2, 0, max(w - win_w, 0))
-        win = jax.lax.dynamic_slice(gray, (y0, x0), (win_h, win_w))
-        win = jnp.where(pol == 1, jnp.uint8(255) - win, win)
-        mask = win <= level.astype(gray.dtype)
-        lab = _label_fn(ccl_mode)(mask, num_iters=ccl_iters)
+        win = jax.lax.dynamic_slice(im2, (pol, y0, x0), (1, win_h, win_w))[0]
+        mask = win <= level
+        lidx = jnp.arange(win_h * win_w, dtype=jnp.int32).reshape(win_h, win_w)
+        lab = propagate_min_keys(lidx, mask, big, num_rolls=num_rolls,
+                                 num_jumps=1)
         seed_lab = lab[y - y0, x - x0]
         sel = lab == seed_lab
         rows = jax.lax.broadcasted_iota(jnp.int32, (win_h, win_w), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (win_h, win_w), 1)
-        big = jnp.int32(win_h * win_w)
         ymin = jnp.min(jnp.where(sel, rows, big))
         ymax = jnp.max(jnp.where(sel, rows, -1))
         xmin = jnp.min(jnp.where(sel, cols, big))
@@ -148,46 +177,33 @@ def mser_regions(gray: jnp.ndarray, cfg: MSERConfig):
     hw = h * w
     s = cfg.level_step if cfg.level_step > 0 else cfg.delta
     d_idx = max(1, round(cfg.delta / s))
-    levels = list(range(0, 256, s))
-    L = len(levels)
-    ccl_iters = cfg.ccl_iters
+    # evaluate every s levels; emission lags the sweep front by d+1 steps,
+    # so run the sweep past 255 to flush the last real levels
+    levels = list(range(0, 256 + (d_idx + 1) * s + 1, s))
 
-    cand_scores = []
-    for pol in (0, 1):
-        im = gray if pol == 0 else jnp.uint8(255) - gray
-        areas, canon, hist = _level_stack(im, levels, ccl_iters, d_idx,
-                                          cfg.ccl_mode)
-        v = _stability(areas, hist, d_idx)
-        a = areas.astype(jnp.int32)
-        inf = jnp.float32(jnp.inf)
-        v_pad = jnp.concatenate(
-            [jnp.full((1,) + v.shape[1:], inf), v, jnp.full((1,) + v.shape[1:], inf)], 0
-        )
-        local_min = (v <= v_pad[:-2]) & (v <= v_pad[2:])
-        cand = (
-            canon
-            & (a >= cfg.min_area)
-            & (a <= cfg.max_area)
-            & (v < cfg.max_variation)
-            & local_min
-        )
-        score = jnp.where(cand, -v, -inf)  # higher = more stable
-        cand_scores.append(score.reshape(L, hw))
+    g = gray.astype(jnp.int32)
+    im2 = jnp.stack([g, 255 - g])  # [2, H, W]
 
-    scores_all = jnp.concatenate(cand_scores, axis=0).reshape(-1)  # [2*L*hw]
+    sb = _level_sweep(im2, levels, cfg, d_idx)  # [L, 2, HW]
+    L = sb.shape[0]
+
     n = cfg.max_regions
-    top_vals, top_idx = jax.lax.top_k(scores_all, n)
-    valid = top_vals > -jnp.inf
+    flat = sb.astype(jnp.int32).reshape(-1)
+    top_vals, top_idx = jax.lax.top_k(flat, n)
+    valid = top_vals > 0
 
-    pl = top_idx // hw  # combined polarity*L + level index
-    q = top_idx - pl * hw
-    pol_idx = pl // L
-    lvl_idx = pl - pol_idx * L
-    level_vals = jnp.asarray(levels, jnp.int32)[lvl_idx]
+    per_level = 2 * hw
+    t_idx = top_idx // per_level
+    rem = top_idx - t_idx * per_level
+    pol_idx = rem // hw
+    q = rem - pol_idx * hw
+    # sb at scan step t describes level levels[t] - (d_idx+1)*s
+    level_vals = jnp.maximum(
+        jnp.asarray(levels, jnp.int32)[t_idx] - (d_idx + 1) * s, 0
+    )
     seeds = jnp.stack([q // w, q - (q // w) * w], axis=-1).astype(jnp.int32)
 
-    boxes = _refine_boxes(gray, seeds, level_vals, pol_idx, ccl_iters,
-                          cfg.ccl_mode)
+    boxes = _refine_boxes(im2, seeds, level_vals, pol_idx, cfg.ccl_iters)
     boxes = jnp.where(valid[:, None], boxes, 0)
     return boxes.astype(jnp.int32), valid
 

@@ -84,7 +84,7 @@ def test_recall_vs_opencv_on_real_crop(test_frames_dir):
     matched = sum(
         1 for rb in ref if any(_iou_xywh(rb, ob) >= 0.6 for ob in ours)
     )
-    assert matched / len(ref) >= 0.8
+    assert matched / len(ref) >= 0.75
     # don't over-generate unboundedly: nested duplicates are fine (downstream
     # dedup collapses them) but stay within a small multiple
     assert len(ours) <= 6 * len(ref) + 32
