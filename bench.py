@@ -59,6 +59,9 @@ def main(argv=None) -> int:
     parser.add_argument("--batch", type=int, default=4)
     parser.add_argument("--size", choices=["gtsdb", "1080p"], default="gtsdb")
     parser.add_argument("--max_regions", type=int, default=512)
+    parser.add_argument("--downscale", type=int, default=2,
+                        help="MSER-stage downscale (2 = tuned fast mode)")
+    parser.add_argument("--ccl_iters", type=int, default=24)
     args = parser.parse_args(argv)
 
     import jax
@@ -90,7 +93,9 @@ def main(argv=None) -> int:
         )
 
     cfg = PipelineConfig(
-        mser=MSERConfig(max_variation=1.0, max_regions=args.max_regions),
+        mser=MSERConfig(max_variation=1.0, max_regions=args.max_regions,
+                        downscale=args.downscale, ccl_iters=args.ccl_iters,
+                        ccl_jumps=0),
         batch_size=args.batch,
     )
     red = jnp.asarray(templates.red)
@@ -101,9 +106,11 @@ def main(argv=None) -> int:
         for i in range(n_batches)
     ]
 
-    # warmup / compile
-    out = detect_batch(batches[0], red, blue, cfg)
-    jax.block_until_ready(out)
+    # warmup / compile (twice: the first post-compile dispatch on the axon
+    # relay occasionally stalls for tens of seconds)
+    for _ in range(2):
+        out = detect_batch(batches[0], red, blue, cfg)
+        jax.block_until_ready(out)
 
     t0 = time.time()
     for b in batches:

@@ -72,44 +72,51 @@ def _level_sweep(im2: jnp.ndarray, levels, cfg: MSERConfig, d_idx: int):
 
     # Forward variation (matching the classic implementation):
     #   V[l] = (A[l+d] - A[l]) / A[l]
-    # so a region is eligible from its birth level on.  Sliding rings
-    # (oldest first):
-    #   a_ring  [d+1] = A[t-d-1] .. A[t-1]     per-pixel component areas
-    #   v_ring  [2]   = V[t-d-2], V[t-d-1]     per-pixel variations
-    #   c_ring  [d+1] = canon[t-d-1] .. canon[t-1]
+    # so a region is eligible from its birth level on.
+    #
+    # All per-level state is *anchor-resident*: the scatter-add count table
+    # is indexed by anchor pixel, so position q holds its component's area
+    # iff q is still that component's anchor (0 otherwise).  The seed chain
+    # of an anchor therefore reads every A[l'] at its own position — no
+    # gather.  When a chain is absorbed by a darker seed, its slot drops to
+    # 0 and V becomes +inf, which is exactly the classic semantics (the
+    # region merged into something much larger -> unstable).
+    #
+    # Sliding rings (oldest first):
+    #   a_ring [d+1] = A[t-d-1] .. A[t-1]   anchor-resident component areas
+    #   v_ring [2]   = V[t-d-2], V[t-d-1]
     # At step t we compute A[t] and V[t-d], then emit candidates for level
     # t-d-1 (centre V with both level-neighbours known).
     def step(carry, level):
-        keys_prev, a_ring, v_ring, c_ring = carry
+        keys_prev, a_ring, v_ring = carry
         mask = im2 <= level
         keys_in = jnp.where(mask, jnp.minimum(keys_prev, keys0), big)
+        # frames are padded with intensity 255, so masks below level 255
+        # never touch the border: rolls are edge-safe without guards
         keys = propagate_min_keys(
             keys_in, mask, big,
-            num_rolls=cfg.ccl_iters, num_jumps=1,
+            num_rolls=cfg.ccl_iters, num_jumps=cfg.ccl_jumps, edges_safe=True,
         )
         anchor = keys % hw
-        canon = mask & (anchor == idx)
 
-        # area counts indexed by anchor pixel (dump slot per polarity)
+        # area counts scattered to anchor pixels (dump slot per polarity)
         slot = jnp.where(mask, anchor, hw) + pol_off
         counts = jnp.zeros((p * (hw + 1),), jnp.int32).at[slot.reshape(-1)].add(1)
-        a_cur = counts[slot.reshape(-1)].reshape(p, h, w)
-        a_cur = jnp.where(mask, jnp.minimum(a_cur, 65535), 0).astype(jnp.uint16)
+        a_cur = counts.reshape(p, hw + 1)[:, :hw].reshape(p, h, w)
+        a_cur = jnp.minimum(a_cur, 65535).astype(jnp.uint16)
 
-        # V[t-d] = (A[t] - A[t-d]) / A[t-d] on the seed chain
-        a_td = a_ring[1].astype(jnp.float32) if d > 0 else a_cur  # A[t-d]
+        # V[t-d] on the seed chain (at anchors alive both at t-d and t)
+        a_td = a_ring[1].astype(jnp.float32)  # A[t-d]
+        a_t = a_cur.astype(jnp.float32)
         v_new = jnp.where(
-            a_td > 0,
-            (a_cur.astype(jnp.float32) - a_td) / jnp.maximum(a_td, 1.0),
-            inf,
+            (a_td > 0) & (a_t > 0), (a_t - a_td) / jnp.maximum(a_td, 1.0), inf
         )
 
         # candidates for level c = t-d-1
         v_c = v_ring[1]
-        area_c = a_ring[0].astype(jnp.int32)  # A[t-d-1]
+        area_c = a_ring[0].astype(jnp.int32)  # A[t-d-1]; > 0 iff anchor at c
         cand = (
-            c_ring[0]
-            & (area_c >= cfg.min_area)
+            (area_c >= cfg.min_area)
             & (area_c <= cfg.max_area)
             & (v_c < cfg.max_variation)
             & (v_c <= v_ring[0])
@@ -120,14 +127,12 @@ def _level_sweep(im2: jnp.ndarray, levels, cfg: MSERConfig, d_idx: int):
 
         a_ring = jnp.concatenate([a_ring[1:], a_cur[None]], axis=0)
         v_ring = jnp.stack([v_ring[1], v_new])
-        c_ring = jnp.concatenate([c_ring[1:], canon[None]], axis=0)
-        return (keys, a_ring, v_ring, c_ring), sb
+        return (keys, a_ring, v_ring), sb
 
     init = (
         jnp.where(im2 < 0, keys0, big),  # varying-typed "all background"
         jnp.tile(jnp.zeros_like(im2, dtype=jnp.uint16)[None], (d + 1, 1, 1, 1)),
         jnp.tile(jnp.full_like(im2, jnp.inf, dtype=jnp.float32)[None], (2, 1, 1, 1)),
-        jnp.tile(jnp.zeros_like(im2, dtype=bool)[None], (d + 1, 1, 1, 1)),
     )
     _, sb = jax.lax.scan(step, init, levels_arr)
     return sb  # [L, 2, HW]
@@ -142,15 +147,21 @@ def _refine_boxes(im2: jnp.ndarray, seeds_yx: jnp.ndarray, levels: jnp.ndarray,
     win_w = min(_WIN, w)
     big = win_h * win_w + 1
 
+    # static inner ring: window borders must not wrap during rolls
+    import numpy as _np
+    inner = _np.zeros((win_h, win_w), bool)
+    inner[1:-1, 1:-1] = True
+    inner = jnp.asarray(inner)
+
     def one(seed, level, pol):
         y, x = seed[0], seed[1]
         y0 = jnp.clip(y - win_h // 2, 0, max(h - win_h, 0))
         x0 = jnp.clip(x - win_w // 2, 0, max(w - win_w, 0))
         win = jax.lax.dynamic_slice(im2, (pol, y0, x0), (1, win_h, win_w))[0]
-        mask = win <= level
+        mask = (win <= level) & inner
         lidx = jnp.arange(win_h * win_w, dtype=jnp.int32).reshape(win_h, win_w)
-        lab = propagate_min_keys(lidx, mask, big, num_rolls=num_rolls,
-                                 num_jumps=1)
+        lab = propagate_min_keys(lidx, mask, big, num_rolls=min(num_rolls, 16),
+                                 num_jumps=1, edges_safe=True)
         seed_lab = lab[y - y0, x - x0]
         sel = lab == seed_lab
         rows = jax.lax.broadcasted_iota(jnp.int32, (win_h, win_w), 0)
@@ -173,6 +184,32 @@ def mser_regions(gray: jnp.ndarray, cfg: MSERConfig):
     Returns (boxes_xywh int32 [max_regions, 4], valid bool [max_regions]),
     most-stable first.
     """
+    ds = max(1, cfg.downscale)
+    if ds > 1:
+        h0, w0 = gray.shape
+        hc, wc = (h0 // ds) * ds, (w0 // ds) * ds
+        g_small = (
+            gray[:hc, :wc]
+            .reshape(hc // ds, ds, wc // ds, ds)
+            .astype(jnp.int32)
+            .mean(axis=(1, 3))
+        ).astype(jnp.uint8)
+        sub_cfg = MSERConfig(
+            delta=cfg.delta,
+            min_area=max(cfg.min_area // (ds * ds), 1),
+            max_area=max(cfg.max_area // (ds * ds), 1),
+            max_variation=cfg.max_variation,
+            level_step=cfg.level_step,
+            max_regions=cfg.max_regions,
+            min_diversity=cfg.min_diversity,
+            ccl_mode=cfg.ccl_mode,
+            ccl_iters=cfg.ccl_iters,
+            ccl_jumps=cfg.ccl_jumps,
+            downscale=1,
+        )
+        boxes, valid = mser_regions(g_small, sub_cfg)
+        return boxes * ds, valid
+
     h, w = gray.shape
     hw = h * w
     s = cfg.level_step if cfg.level_step > 0 else cfg.delta
@@ -183,6 +220,12 @@ def mser_regions(gray: jnp.ndarray, cfg: MSERConfig):
 
     g = gray.astype(jnp.int32)
     im2 = jnp.stack([g, 255 - g])  # [2, H, W]
+    # 1-px border at intensity 255 (both polarities): keeps every sub-255
+    # threshold mask off the border so roll wraparound can't leak between
+    # opposite edges (see propagate_min_keys edge handling)
+    im2 = jnp.pad(im2, ((0, 0), (1, 1), (1, 1)), constant_values=255)
+    h, w = h + 2, w + 2
+    hw = h * w
 
     sb = _level_sweep(im2, levels, cfg, d_idx)  # [L, 2, HW]
     L = sb.shape[0]
@@ -204,6 +247,8 @@ def mser_regions(gray: jnp.ndarray, cfg: MSERConfig):
     seeds = jnp.stack([q // w, q - (q // w) * w], axis=-1).astype(jnp.int32)
 
     boxes = _refine_boxes(im2, seeds, level_vals, pol_idx, cfg.ccl_iters)
+    # back to unpadded frame coordinates
+    boxes = boxes.at[:, 0].add(-1).at[:, 1].add(-1)
     boxes = jnp.where(valid[:, None], boxes, 0)
     return boxes.astype(jnp.int32), valid
 

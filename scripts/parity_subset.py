@@ -22,7 +22,7 @@ def main():
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--batch", type=int, default=4)
     parser.add_argument("--max_regions", type=int, default=768)
-    parser.add_argument("--ccl_mode", default="hook")
+    parser.add_argument("--downscale", type=int, default=1)
     parser.add_argument("--level_step", type=int, default=0)
     parser.add_argument("--out", default="/tmp/parity_resultado.txt")
     args = parser.parse_args()
@@ -74,7 +74,7 @@ def main():
 
     cfg = PipelineConfig(
         mser=MSERConfig(max_variation=1.0, max_regions=args.max_regions,
-                        ccl_mode=args.ccl_mode, level_step=args.level_step),
+                        downscale=args.downscale, level_step=args.level_step),
         batch_size=args.batch,
     )
     pipe = DetectionPipeline(cfg=cfg, templates=templates)
