@@ -177,6 +177,14 @@ def propagate_min_keys(
         sl = (slice(None),) * (mask.ndim - 2) + (slice(1, -1), slice(1, -1))
         return out[sl]
 
+    if num_jumps == 0 and mask.ndim == 3:
+        # jump-free propagation: use the VMEM-resident Pallas kernel when
+        # the whole stack fits on-chip (2 rounds collapse into one call)
+        from .pallas_prop import pallas_available_for, propagate_rolls_pallas
+
+        if pallas_available_for(mask.shape):
+            return propagate_rolls_pallas(keys, mask, big, 2 * num_rolls)
+
     bigv = jnp.int32(big)
     k = jnp.where(mask, keys, bigv)
 

@@ -1,0 +1,53 @@
+"""Pallas propagation kernel: interpret-mode equality with the XLA path."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from opencv_traffic_sign_detector_tpu.ops import pallas_prop as P
+
+
+def _xla_ref(keys, mask, big, iters):
+    k = jnp.where(mask, keys, big)
+
+    def roll_min(x):
+        m = jnp.minimum(
+            jnp.minimum(jnp.roll(x, 1, -2), jnp.roll(x, -1, -2)),
+            jnp.minimum(jnp.roll(x, 1, -1), jnp.roll(x, -1, -1)),
+        )
+        return jnp.where(mask, jnp.minimum(x, m), big)
+
+    return jax.lax.fori_loop(0, iters, lambda i, y: roll_min(y), k)
+
+
+@pytest.mark.parametrize("density", [0.2, 0.5])
+def test_kernel_matches_xla_interpret(density):
+    rng = np.random.default_rng(int(density * 10))
+    shape = (2, 64, 128)
+    keys = rng.integers(0, 2**20, shape).astype(np.int32)
+    mask = rng.random(shape) < density
+    mask[:, 0, :] = mask[:, -1, :] = mask[:, :, 0] = mask[:, :, -1] = False
+    big = 2**21
+    kern = functools.partial(P._kernel, num_rolls=16, big=big)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(shape, jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=True,
+    )(jnp.asarray(keys), jnp.asarray(mask).astype(jnp.int8))
+    expect = _xla_ref(jnp.asarray(keys), jnp.asarray(mask), big, 16)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(expect))
+
+
+def test_availability_gate():
+    # CPU backend in tests: the TPU-resident path must report unavailable
+    assert not P.pallas_available_for((2, 403, 683))
+    # far beyond VMEM
+    assert not P.pallas_available_for((2, 4000, 4000))
