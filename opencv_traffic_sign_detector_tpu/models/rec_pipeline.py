@@ -44,6 +44,33 @@ def _stack_heads(clf: SignClassifier) -> tuple[np.ndarray, np.ndarray]:
     return coefs, ints
 
 
+def classify_crops_knn(
+    feats: jnp.ndarray,
+    xbar: jnp.ndarray,
+    scalings: jnp.ndarray,
+    train_x: jnp.ndarray,
+    train_y: jnp.ndarray,
+    classes: jnp.ndarray,
+    k: int,
+):
+    """KNN path on device: LDA-reduce then k-NN majority vote.
+
+    Returns (labels [N], confidence [N] = vote fraction of the winner).
+    """
+    reduced = (feats - xbar) @ scalings
+    d2 = (
+        jnp.sum(reduced * reduced, axis=1, keepdims=True)
+        - 2.0 * reduced @ train_x.T
+        + jnp.sum(train_x * train_x, axis=1)[None, :]
+    )
+    _, nn_idx = jax.lax.top_k(-d2, k)
+    nn_labels = train_y[nn_idx]
+    votes = jnp.sum(nn_labels[..., None] == classes[None, None, :], axis=1)
+    best = jnp.argmax(votes, axis=-1)
+    conf = jnp.max(votes, axis=-1).astype(jnp.float32) / k
+    return classes[best].astype(jnp.int32), conf
+
+
 def classify_crops_lda(
     feats: jnp.ndarray,
     head_coefs: jnp.ndarray,
@@ -66,8 +93,8 @@ def classify_crops_lda(
     return labels, conf
 
 
-def recognize_frame(bgr: jnp.ndarray, head_coefs, head_ints, cfg: PipelineConfig,
-                    features: str):
+def recognize_frame(bgr: jnp.ndarray, clf_arrays, cfg: PipelineConfig,
+                    features: str, clf_kind: str = "LDABAYES", knn_k: int = 4):
     """One frame -> (boxes [D,4] xyxy, labels [D], scores [D], valid [D])."""
     gray = enhance_contrast(bgr)
     props, pvalid = mser_regions(gray, cfg.mser)
@@ -77,7 +104,14 @@ def recognize_frame(bgr: jnp.ndarray, head_coefs, head_ints, cfg: PipelineConfig
     crops, boxes, keep = dedup_by_coords(crops, boxes, keep, DEDUP_COORD_TOL)
     gray_crops = bgr_to_gray(crops)
     feats = hog_descriptors(gray_crops) if features == "HOG" else gray_descriptors(gray_crops)
-    labels, conf = classify_crops_lda(feats, head_coefs, head_ints, cfg.no_sign_tol)
+    if clf_kind == "LDABAYES":
+        head_coefs, head_ints = clf_arrays
+        labels, conf = classify_crops_lda(feats, head_coefs, head_ints,
+                                          cfg.no_sign_tol)
+    else:
+        xbar, scalings, tx, ty, classes = clf_arrays
+        labels, conf = classify_crops_knn(feats, xbar, scalings, tx, ty,
+                                          classes, knn_k)
     final = keep & (labels > 0)
 
     d = cfg.max_detections
@@ -96,36 +130,49 @@ def recognize_frame(bgr: jnp.ndarray, head_coefs, head_ints, cfg: PipelineConfig
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "features"))
-def recognize_batch(frames, head_coefs, head_ints, cfg: PipelineConfig,
-                    features: str):
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "features", "clf_kind", "knn_k")
+)
+def recognize_batch(frames, clf_arrays, cfg: PipelineConfig, features: str,
+                    clf_kind: str, knn_k: int = 4):
     return jax.vmap(
-        lambda f: recognize_frame(f, head_coefs, head_ints, cfg, features)
+        lambda f: recognize_frame(f, clf_arrays, cfg, features, clf_kind, knn_k)
     )(frames)
 
 
 @dataclasses.dataclass
 class RecognitionPipeline:
-    """Host-facing recognizer over directories of frames (LDABAYES heads)."""
+    """Host-facing recognizer over directories of frames (both classifier
+    families run fused on device)."""
 
     cfg: PipelineConfig
     classifier: SignClassifier
 
     def __post_init__(self):
-        if self.classifier.config.classifier != "LDABAYES":
-            raise NotImplementedError(
-                "fused device inference currently supports the LDABAYES "
-                "heads; KNN classification runs via predict_classifier()"
+        if self.classifier.config.classifier == "LDABAYES":
+            self._kind = "LDABAYES"
+            coefs, ints = _stack_heads(self.classifier)
+            self._arrays = (jnp.asarray(coefs), jnp.asarray(ints))
+        else:
+            self._kind = "KNN"
+            red = self.classifier.reducer
+            knn = self.classifier.knn
+            self._arrays = (
+                jnp.asarray(red.xbar.astype(np.float32)),
+                jnp.asarray(red.scalings.astype(np.float32)),
+                jnp.asarray(knn.train_x.astype(np.float32)),
+                jnp.asarray(knn.train_y.astype(np.int32)),
+                jnp.asarray(knn.classes.astype(np.int32)),
             )
-        self._coefs, self._ints = _stack_heads(self.classifier)
 
     def recognize_frames(self, frames: np.ndarray, names: list[str]):
         boxes, labels, scores, valid = recognize_batch(
             jnp.asarray(frames),
-            jnp.asarray(self._coefs),
-            jnp.asarray(self._ints),
+            self._arrays,
             self.cfg,
             self.classifier.config.features,
+            self._kind,
+            self.classifier.config.knn_neighbors,
         )
         boxes = np.asarray(boxes)
         labels = np.asarray(labels)

@@ -42,11 +42,28 @@ def test_fused_heads_match_per_head_prediction():
     assert ((conf >= 0) & (conf <= 1)).all()
 
 
-def test_knn_pipeline_rejected():
+def test_knn_device_path_matches_host():
+    import numpy as np
+    from opencv_traffic_sign_detector_tpu.models.rec_pipeline import (
+        classify_crops_knn,
+    )
+
     feats = _features(seed=1)
     clf = fit_classifier(feats, ClassifierConfig.from_string("HOG_LDA_KNN"))
-    with pytest.raises(NotImplementedError):
-        RecognitionPipeline(cfg=PipelineConfig(), classifier=clf)
+    X = np.concatenate([feats[c][:8] for c in range(7)])
+    labels, conf = classify_crops_knn(
+        X,
+        clf.reducer.xbar.astype(np.float32),
+        clf.reducer.scalings.astype(np.float32),
+        clf.knn.train_x.astype(np.float32),
+        clf.knn.train_y.astype(np.int32),
+        clf.knn.classes.astype(np.int32),
+        4,
+    )
+    ref = predict_classifier(clf, X)
+    np.testing.assert_array_equal(np.asarray(labels), ref)
+    conf = np.asarray(conf)
+    assert ((conf >= 0.25) & (conf <= 1.0)).all()
 
 
 def test_recognize_frames_smoke(test_frames_dir, train_frames_dir):
