@@ -33,7 +33,6 @@ class MSERConfig:
     level_step: int = 0  # gray-level threshold stride; 0 = auto (= delta)
     max_regions: int = 1024  # static padding capacity for proposals per frame
     min_diversity: float = 0.2  # OpenCV default, not exposed by the grammar
-    ccl_mode: str = "roll"  # propagation kernel flavor (informational in v2)
     ccl_iters: int = 16  # roll iterations per propagation round (2 rounds)
     ccl_jumps: int = 1  # pointer jumps per round (gathers; 0 = rolls only)
     # MSER-stage spatial downscale (1 = native res; 2 = 2x2-mean half res

@@ -202,7 +202,6 @@ def mser_regions(gray: jnp.ndarray, cfg: MSERConfig):
             level_step=cfg.level_step,
             max_regions=cfg.max_regions,
             min_diversity=cfg.min_diversity,
-            ccl_mode=cfg.ccl_mode,
             ccl_iters=cfg.ccl_iters,
             ccl_jumps=cfg.ccl_jumps,
             downscale=1,
