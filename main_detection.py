@@ -68,6 +68,12 @@ def main(argv=None) -> int:
     parser.add_argument("--no-images", action="store_true",
                         help="skip writing annotated frames")
     parser.add_argument("--per-file-stats", action="store_true")
+    parser.add_argument("--downscale", type=int, default=1,
+                        help="MSER-stage downscale (2 = fast mode)")
+    parser.add_argument("--profile", action="store_true",
+                        help="print per-stage wall-clock summary")
+    parser.add_argument("--trace_dir", default=None,
+                        help="capture a jax profiler trace to this directory")
     args = parser.parse_args(argv)
 
     try:
@@ -76,13 +82,25 @@ def main(argv=None) -> int:
         print(f"Invalid detector spec: {e}\n{USAGE_HINT}")
         return 2
 
+    import dataclasses as _dc
+
+    from opencv_traffic_sign_detector_tpu.utils.profiling import (
+        StageProfiler,
+        xla_trace,
+    )
+
+    if args.downscale > 1:
+        mser = _dc.replace(mser, downscale=args.downscale, ccl_iters=24,
+                           ccl_jumps=0)
     cfg = PipelineConfig(mser=mser, batch_size=args.batch_size)
     train_path = args.train_path.replace("\\", "/")
     test_path = args.test_path.replace("\\", "/")
+    prof = StageProfiler()
 
     print(f"[1/4] training mean-mask templates from {train_path} ...")
     t0 = time.time()
-    templates = train_mean_masks(train_path)
+    with prof.stage("train_templates"):
+        templates = train_mean_masks(train_path)
     print(f"      done in {time.time() - t0:.1f}s")
 
     print(f"[2/4] detecting over {test_path} "
@@ -90,7 +108,9 @@ def main(argv=None) -> int:
           f"maxVar={mser.max_variation}) ...")
     pipe = DetectionPipeline(cfg=cfg, templates=templates)
     t0 = time.time()
-    detections = pipe.run_directory(test_path, progress=True)
+    n_total = len(list_frame_files(test_path))
+    with xla_trace(args.trace_dir), prof.stage("detect", items=n_total):
+        detections = pipe.run_directory(test_path, progress=True)
     dt = time.time() - t0
     n_frames = len(list_frame_files(test_path))
     print(f"      {len(detections)} detections over {n_frames} frames "
@@ -121,6 +141,10 @@ def main(argv=None) -> int:
               f"{ap['n_det']} detections, {ap['n_gt']} GT)")
     else:
         print("[4/4] no gt.txt found; skipping statistics")
+
+    if args.profile:
+        print("\n== stage profile ==")
+        print(prof.summary())
     return 0
 
 

@@ -139,7 +139,7 @@ def _level_sweep(im2: jnp.ndarray, levels, cfg: MSERConfig, d_idx: int):
 
 
 def _refine_boxes(im2: jnp.ndarray, seeds_yx: jnp.ndarray, levels: jnp.ndarray,
-                  polarity: jnp.ndarray, num_rolls: int):
+                  polarity: jnp.ndarray, num_rolls: int, seed_slack: int = 0):
     """Per candidate: local roll-CCL in a window centred on its anchor at its
     level; bbox of the anchor's component.  -> boxes_xywh [N, 4] int32."""
     _, h, w = im2.shape
@@ -162,7 +162,24 @@ def _refine_boxes(im2: jnp.ndarray, seeds_yx: jnp.ndarray, levels: jnp.ndarray,
         lidx = jnp.arange(win_h * win_w, dtype=jnp.int32).reshape(win_h, win_w)
         lab = propagate_min_keys(lidx, mask, big, num_rolls=min(num_rolls, 16),
                                  num_jumps=1, edges_safe=True)
-        seed_lab = lab[y - y0, x - x0]
+        sy, sx = y - y0, x - x0
+        if seed_slack > 0:
+            # seeds mapped from a downscaled sweep land near, not on, the
+            # native-res extremum: snap to the darkest pixel in the slack
+            # patch so the seed is inside the native mask at this level
+            best = win[sy, sx]
+            by, bx = sy, sx
+            for dy in range(-seed_slack, seed_slack + 1):
+                for dx in range(-seed_slack, seed_slack + 1):
+                    yy = jnp.clip(sy + dy, 0, win_h - 1)
+                    xx = jnp.clip(sx + dx, 0, win_w - 1)
+                    v = win[yy, xx]
+                    take = v < best
+                    best = jnp.where(take, v, best)
+                    by = jnp.where(take, yy, by)
+                    bx = jnp.where(take, xx, bx)
+            sy, sx = by, bx
+        seed_lab = lab[sy, sx]
         sel = lab == seed_lab
         rows = jax.lax.broadcasted_iota(jnp.int32, (win_h, win_w), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (win_h, win_w), 1)
@@ -184,8 +201,52 @@ def mser_regions(gray: jnp.ndarray, cfg: MSERConfig):
     Returns (boxes_xywh int32 [max_regions, 4], valid bool [max_regions]),
     most-stable first.
     """
+    def pad_pol(gr):
+        """Polarity stack with the edge-safe 255 border: [2, H+2, W+2]."""
+        g = gr.astype(jnp.int32)
+        both = jnp.stack([g, 255 - g])
+        # 1-px border at intensity 255 (both polarities): keeps every
+        # sub-255 threshold mask off the border so roll wraparound can't
+        # leak between opposite edges (propagate_min_keys edge handling)
+        return jnp.pad(both, ((0, 0), (1, 1), (1, 1)), constant_values=255)
+
+    def sweep_candidates(gr, c):
+        """Run the level sweep on one frame; return top-k candidates.
+
+        -> (seeds_yx [N,2] padded coords, level_vals [N], pol_idx [N],
+            valid [N], im2 padded stack)."""
+        h0, w0 = gr.shape
+        s = c.level_step if c.level_step > 0 else c.delta
+        d_idx = max(1, round(c.delta / s))
+        # evaluate every s levels; emission lags the sweep front by d+1
+        # steps, so run the sweep past 255 to flush the last real levels
+        levels = list(range(0, 256 + (d_idx + 1) * s + 1, s))
+        im2 = pad_pol(gr)
+        h, w = h0 + 2, w0 + 2
+        hw = h * w
+
+        sb = _level_sweep(im2, levels, c, d_idx)  # [L, 2, HW]
+        n = c.max_regions
+        flat = sb.astype(jnp.int32).reshape(-1)
+        top_vals, top_idx = jax.lax.top_k(flat, n)
+        valid = top_vals > 0
+
+        per_level = 2 * hw
+        t_idx = top_idx // per_level
+        rem = top_idx - t_idx * per_level
+        pol_idx = rem // hw
+        q = rem - pol_idx * hw
+        # sb at scan step t describes level levels[t] - (d_idx+1)*s
+        level_vals = jnp.maximum(
+            jnp.asarray(levels, jnp.int32)[t_idx] - (d_idx + 1) * s, 0
+        )
+        seeds = jnp.stack([q // w, q - (q // w) * w], axis=-1).astype(jnp.int32)
+        return seeds, level_vals, pol_idx, valid, im2
+
     ds = max(1, cfg.downscale)
     if ds > 1:
+        # sweep on the 2x2-mean image (4x cheaper), then refine candidate
+        # bboxes on the native-resolution image for tight boxes
         h0, w0 = gray.shape
         hc, wc = (h0 // ds) * ds, (w0 // ds) * ds
         g_small = (
@@ -206,45 +267,18 @@ def mser_regions(gray: jnp.ndarray, cfg: MSERConfig):
             ccl_jumps=cfg.ccl_jumps,
             downscale=1,
         )
-        boxes, valid = mser_regions(g_small, sub_cfg)
-        return boxes * ds, valid
+        seeds_s, level_vals, pol_idx, valid, _ = sweep_candidates(
+            g_small, sub_cfg
+        )
+        im2 = pad_pol(gray)
+        seeds = (seeds_s - 1) * ds + ds // 2 + 1  # block centre, native pad
+        boxes = _refine_boxes(im2, seeds, level_vals, pol_idx, cfg.ccl_iters,
+                              seed_slack=ds)
+        boxes = boxes.at[:, 0].add(-1).at[:, 1].add(-1)
+        boxes = jnp.where(valid[:, None], boxes, 0)
+        return boxes.astype(jnp.int32), valid
 
-    h, w = gray.shape
-    hw = h * w
-    s = cfg.level_step if cfg.level_step > 0 else cfg.delta
-    d_idx = max(1, round(cfg.delta / s))
-    # evaluate every s levels; emission lags the sweep front by d+1 steps,
-    # so run the sweep past 255 to flush the last real levels
-    levels = list(range(0, 256 + (d_idx + 1) * s + 1, s))
-
-    g = gray.astype(jnp.int32)
-    im2 = jnp.stack([g, 255 - g])  # [2, H, W]
-    # 1-px border at intensity 255 (both polarities): keeps every sub-255
-    # threshold mask off the border so roll wraparound can't leak between
-    # opposite edges (see propagate_min_keys edge handling)
-    im2 = jnp.pad(im2, ((0, 0), (1, 1), (1, 1)), constant_values=255)
-    h, w = h + 2, w + 2
-    hw = h * w
-
-    sb = _level_sweep(im2, levels, cfg, d_idx)  # [L, 2, HW]
-    L = sb.shape[0]
-
-    n = cfg.max_regions
-    flat = sb.astype(jnp.int32).reshape(-1)
-    top_vals, top_idx = jax.lax.top_k(flat, n)
-    valid = top_vals > 0
-
-    per_level = 2 * hw
-    t_idx = top_idx // per_level
-    rem = top_idx - t_idx * per_level
-    pol_idx = rem // hw
-    q = rem - pol_idx * hw
-    # sb at scan step t describes level levels[t] - (d_idx+1)*s
-    level_vals = jnp.maximum(
-        jnp.asarray(levels, jnp.int32)[t_idx] - (d_idx + 1) * s, 0
-    )
-    seeds = jnp.stack([q // w, q - (q // w) * w], axis=-1).astype(jnp.int32)
-
+    seeds, level_vals, pol_idx, valid, im2 = sweep_candidates(gray, cfg)
     boxes = _refine_boxes(im2, seeds, level_vals, pol_idx, cfg.ccl_iters)
     # back to unpadded frame coordinates
     boxes = boxes.at[:, 0].add(-1).at[:, 1].add(-1)
