@@ -50,6 +50,8 @@ def main(argv=None) -> int:
                         help="after training, run the recognizer over "
                              "test_path and write resultado.txt")
     parser.add_argument("--out", default="resultado.txt")
+    parser.add_argument("--confusion_plot", default=None,
+                        help="write the validation confusion matrix PNG here")
     args = parser.parse_args(argv)
 
     try:
@@ -80,6 +82,30 @@ def main(argv=None) -> int:
         print(f"{SIGN_NAMES[i]:>15}" + " ".join(f"{v:7d}" for v in row))
     print("\n" + result.report)
     print(f"\nvalidation accuracy: {result.accuracy:.4f}")
+
+    if args.confusion_plot:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(7, 6))
+        im = ax.imshow(result.confusion, cmap="Blues")
+        ax.set_xticks(range(len(SIGN_NAMES)))
+        ax.set_yticks(range(len(SIGN_NAMES)))
+        ax.set_xticklabels(SIGN_NAMES, rotation=45, ha="right")
+        ax.set_yticklabels(SIGN_NAMES)
+        ax.set_xlabel("Predicted label")
+        ax.set_ylabel("True label")
+        for i in range(result.confusion.shape[0]):
+            for j in range(result.confusion.shape[1]):
+                ax.text(j, i, str(result.confusion[i, j]),
+                        ha="center", va="center", fontsize=8)
+        ax.set_title(f"clasificador {args.classifier}")
+        fig.colorbar(im, ax=ax)
+        fig.tight_layout()
+        fig.savefig(args.confusion_plot, dpi=120)
+        print(f"confusion matrix plot saved to {args.confusion_plot}")
 
     result.classifier.save(args.model_out)
     print(f"model saved to {args.model_out}/")
