@@ -52,3 +52,14 @@ def test_stats_totals_match_reference_run(fixtures_dir):
 def test_typecounts_nan_when_empty():
     c = TypeCounts()
     assert math.isnan(c.precision) and math.isnan(c.recall) and math.isnan(c.f1)
+
+
+def test_full_dataset_parity_artifact(fixtures_dir):
+    """Regression pin: the TPU pipeline's full-run artifact holds reference
+    parity (F1 0.15 vs 0.15) under the reference's own statistics engine."""
+    ours = load_results_file(str(fixtures_dir / "ours_resultado_tpu_ds2.txt"))
+    stats = compute_detection_statistics(ours, str(fixtures_dir / "gt_test.txt"))
+    assert stats.total.f1 >= 0.14
+    assert stats.total.precision >= 0.09
+    assert stats.total.recall >= 0.33
+    assert len(ours) > 500
