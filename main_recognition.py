@@ -52,6 +52,9 @@ def main(argv=None) -> int:
     parser.add_argument("--out", default="resultado.txt")
     parser.add_argument("--confusion_plot", default=None,
                         help="write the validation confusion matrix PNG here")
+    parser.add_argument("--downscale", type=int, default=1,
+                        help="MSER-stage downscale for negative mining "
+                             "(2 = fast mode)")
     args = parser.parse_args(argv)
 
     try:
@@ -60,6 +63,11 @@ def main(argv=None) -> int:
     except ConfigError as e:
         print(f"Invalid spec: {e}")
         return 2
+    if args.downscale > 1:
+        import dataclasses as _dc
+
+        mser = _dc.replace(mser, downscale=args.downscale, ccl_iters=24,
+                           ccl_jumps=0)
 
     print(f"validating {clf_cfg.to_string()} with detector {mser.to_string()}")
     t0 = time.time()

@@ -105,6 +105,8 @@ def extract_train_proposals(
 
     out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     for start in range(0, len(files), batch_size):
+        if start and start % (batch_size * 10) == 0:
+            print(f"  proposals: {start}/{len(files)} frames", flush=True)
         chunk = files[start : start + batch_size]
         frames = np.stack([load_image_bgr(os.path.join(train_dir, f)) for f in chunk])
         pad = batch_size - len(chunk)
