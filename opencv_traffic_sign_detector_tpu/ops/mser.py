@@ -26,9 +26,9 @@ per level (quantized stability), top-k'd into the padded proposal tensor.
 Both polarities run stacked as a leading batch dim (dark-on-bright and
 bright-on-dark, matching OpenCV's two-pass grayscale behaviour).
 
-Per level the only non-elementwise ops are one scatter-add (area counts)
-and one gather (per-pixel area map) — everything else is rolls and vector
-math, the fast path on this hardware.
+Per level the only non-elementwise op is one scatter-add (area counts
+landing at anchor pixels) — everything else is rolls and vector math, the
+fast path on this hardware.
 
 Replaces `cv2.MSER_create` / `mser.detectRegions` (`Deteción de
 Objetos/source.py:639,114`; `Reconocimiento de Objetos/source.py:43,50`).
@@ -58,7 +58,7 @@ def _level_sweep(im2: jnp.ndarray, levels, cfg: MSERConfig, d_idx: int):
     im2: [2, H, W] int32 (polarity-stacked intensities).
     Returns sb u8 [L, 2, H*W]: 0 = not a candidate, else 255 - quantized V
     (higher byte = more stable), emitted at each component's anchor pixel
-    for level ``levels[t] - 2*d_idx*step`` at scan step t.
+    for level ``levels[t] - (d_idx+1)*step`` at scan step t.
     """
     p, h, w = im2.shape
     hw = h * w
