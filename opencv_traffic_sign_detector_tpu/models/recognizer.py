@@ -157,18 +157,38 @@ def build_training_data(
 
     data: dict[int, list[np.ndarray]] = {c: [] for c in range(7)}
 
-    # positives: gray full-frame crops resized 32x32
+    # positives: gray full-frame crops resized 32x32.  Gray conversion on
+    # host (the exact cv2 fixed-point formula) and ONE padded device call
+    # for all crops — per-frame device round trips stall the TPU relay.
+    raw_crops: list[np.ndarray] = []
+    crop_classes: list[int] = []
     for fname in sorted(by_frame):
-        bgr = load_image_bgr(os.path.join(train_dir, fname))
-        gray = np.asarray(bgr_to_gray(jnp.asarray(bgr)))
-        boxes = np.array(
-            [[g.x1, g.y1, g.x2, g.y2] for g in by_frame[fname]], np.int32
+        bgr = load_image_bgr(os.path.join(train_dir, fname)).astype(np.int32)
+        gray = (
+            (bgr[..., 2] * 9798 + bgr[..., 1] * 19235 + bgr[..., 0] * 3735
+             + (1 << 14)) >> 15
+        ).astype(np.uint8)
+        hh, ww = gray.shape
+        for g in by_frame[fname]:
+            y1, y2 = max(g.y1, 0), min(max(g.y2, g.y1 + 1), hh)
+            x1, x2 = max(g.x1, 0), min(max(g.x2, g.x1 + 1), ww)
+            raw_crops.append(gray[y1:y2, x1:x2])
+            crop_classes.append(g.class_id)
+    if raw_crops:
+        hp = -(-max(c.shape[0] for c in raw_crops) // 32) * 32
+        wp = -(-max(c.shape[1] for c in raw_crops) // 32) * 32
+        buf = np.zeros((len(raw_crops), hp, wp), np.uint8)
+        boxes = np.zeros((len(raw_crops), 4), np.int32)
+        for i, c in enumerate(raw_crops):
+            buf[i, : c.shape[0], : c.shape[1]] = c
+            boxes[i] = (0, 0, c.shape[1], c.shape[0])
+        resized = np.asarray(
+            jax.vmap(
+                lambda im, bx: crop_and_resize(im, bx[None], RECOG_CROP)[0]
+            )(jnp.asarray(buf), jnp.asarray(boxes))
         )
-        crops = np.asarray(
-            crop_and_resize(jnp.asarray(gray), jnp.asarray(boxes), RECOG_CROP)
-        )
-        for g, c in zip(by_frame[fname], crops):
-            data[g.class_id].append(c)
+        for cls, crop in zip(crop_classes, resized):
+            data[cls].append(crop)
 
     # negatives: proposals with max IoU <= 0.5 against same-frame GT
     proposals = extract_train_proposals(
