@@ -20,8 +20,6 @@ import shutil
 import sys
 import time
 
-import numpy as np
-
 from opencv_traffic_sign_detector_tpu.config import (
     ConfigError,
     MSERConfig,

@@ -18,8 +18,6 @@ import argparse
 import sys
 import time
 
-import numpy as np
-
 from opencv_traffic_sign_detector_tpu.config import (
     ClassifierConfig,
     ConfigError,

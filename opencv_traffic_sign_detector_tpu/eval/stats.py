@@ -22,8 +22,6 @@ from __future__ import annotations
 import dataclasses
 import math
 
-import numpy as np
-
 from ..constants import SIGN_TYPES, STATS_MATCH_TOL
 from ..data.gt import GroundTruthBox, load_ground_truth
 

@@ -28,7 +28,6 @@ from ..constants import (
     DEDUP_HIST_TOL,
     DETECT_CROP,
     DETECT_GROW,
-    MASK_CORR_TOL,
 )
 from ..data.gt import GroundTruthBox
 from ..data.images import list_frame_files, load_image_bgr

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import ClassifierConfig, PipelineConfig
+from ..config import PipelineConfig
 from ..constants import (
     DEDUP_COORD_TOL,
     DEDUP_HIST_TOL,

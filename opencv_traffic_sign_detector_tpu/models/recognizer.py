@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import ClassifierConfig, MSERConfig, PipelineConfig
+from ..config import ClassifierConfig, MSERConfig
 from ..constants import (
     DEDUP_COORD_TOL,
     DEDUP_HIST_TOL,
