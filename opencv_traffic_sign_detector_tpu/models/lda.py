@@ -64,49 +64,56 @@ def lda_fit(X: jnp.ndarray, y: np.ndarray, tol: float = 1e-4) -> LDAParams:
 
     Follows the svd-solver algorithm step for step so that decision values,
     probabilities and the transform agree with sklearn to float precision.
+
+    Fitting runs in host numpy: it is train-time-only closed-form algebra on
+    small matrices, and tall-matrix SVD is pathologically slow on the target
+    TPU runtime (the distributed SPMD trainer in parallel/train.py uses the
+    sufficient-statistics formulation instead).  Inference (transform /
+    decision / predict_proba) stays on device.
     """
-    X = jnp.asarray(X, jnp.float32)
+    X = np.asarray(X, np.float32)
     y = np.asarray(y)
     classes = np.unique(y)
     n, d = X.shape
     c = len(classes)
 
-    onehot = jnp.asarray((y[:, None] == classes[None, :]).astype(np.float32))
-    counts = jnp.sum(onehot, axis=0)  # [C]
+    onehot = (y[:, None] == classes[None, :]).astype(np.float32)
+    counts = onehot.sum(axis=0)  # [C]
     priors = counts / n
     means = (onehot.T @ X) / counts[:, None]  # [C, D]
     xbar = priors @ means  # [D]
 
     Xc = X - onehot @ means  # center by class mean
-    std = jnp.std(Xc, axis=0)
-    std = jnp.where(std == 0, 1.0, std)
+    std = Xc.std(axis=0)
+    std[std == 0] = 1.0
     fac = 1.0 / (n - c)
-    Xs = jnp.sqrt(fac) * (Xc / std)
-    _, S, Vt = jnp.linalg.svd(Xs, full_matrices=False)
-    rank_mask = (S > tol).astype(Xs.dtype)
-    inv_s = jnp.where(S > tol, 1.0 / jnp.maximum(S, 1e-30), 0.0)
+    Xs = np.sqrt(fac) * (Xc / std)
+    _, S, Vt = np.linalg.svd(Xs, full_matrices=False)
+    rank_mask = (S > tol).astype(np.float32)
+    with np.errstate(divide="ignore"):
+        inv_s = np.where(S > tol, 1.0 / np.maximum(S, 1e-30), 0.0)
     scalings1 = (Vt / std[None, :]).T * (inv_s * rank_mask)[None, :]  # [D, R]
 
     Xb = (
-        jnp.sqrt((n * priors) * fac)[:, None] * (means - xbar)
+        np.sqrt((n * priors) * fac)[:, None] * (means - xbar)
     ) @ scalings1  # [C, R]
-    _, S2, Vt2 = jnp.linalg.svd(Xb, full_matrices=False)
-    mask2 = (S2 > tol * S2[0]).astype(Xb.dtype)
+    _, S2, Vt2 = np.linalg.svd(Xb, full_matrices=False)
+    mask2 = (S2 > tol * S2[0]).astype(np.float32)
     k = min(c - 1, Vt2.shape[0])
     proj = (Vt2 * mask2[:, None]).T[:, :k]  # [R, K]
     scalings = scalings1 @ proj  # [D, K]
 
     coef_k = (means - xbar) @ scalings  # [C, K]
-    intercept = -0.5 * jnp.sum(coef_k**2, axis=1) + jnp.log(priors)
+    intercept = -0.5 * np.sum(coef_k**2, axis=1) + np.log(priors)
     coef = coef_k @ scalings.T  # [C, D]
     intercept = intercept - coef @ xbar
 
     return LDAParams(
         classes=np.asarray(classes),
-        xbar=np.asarray(xbar),
-        scalings=np.asarray(scalings),
-        coef=np.asarray(coef),
-        intercept=np.asarray(intercept),
+        xbar=np.asarray(xbar, np.float32),
+        scalings=np.asarray(scalings, np.float32),
+        coef=np.asarray(coef, np.float32),
+        intercept=np.asarray(intercept, np.float32),
     )
 
 
