@@ -106,16 +106,19 @@ def main(argv=None) -> int:
         for i in range(n_batches)
     ]
 
-    # warmup / compile (twice: the first post-compile dispatch on the axon
-    # relay occasionally stalls for tens of seconds)
-    for _ in range(2):
+    # warmup / compile.  Materialize to host each time: block_until_ready
+    # does not reliably synchronize through the axon relay, and the first
+    # post-compile dispatch can stall for tens of seconds — absorb it here.
+    for _ in range(3):
         out = detect_batch(batches[0], red, blue, cfg)
-        jax.block_until_ready(out)
+        np.asarray(out[3]).sum()
 
     t0 = time.time()
     for b in batches:
         out = detect_batch(b, red, blue, cfg)
-    jax.block_until_ready(out)
+        # materialize a scalar per batch: block_until_ready alone does not
+        # reliably synchronize through the axon relay
+        np.asarray(out[3]).sum()
     dt = time.time() - t0
     fps = (n_batches * args.batch) / dt
 

@@ -167,18 +167,13 @@ def _refine_boxes(im2: jnp.ndarray, seeds_yx: jnp.ndarray, levels: jnp.ndarray,
             # seeds mapped from a downscaled sweep land near, not on, the
             # native-res extremum: snap to the darkest pixel in the slack
             # patch so the seed is inside the native mask at this level
-            best = win[sy, sx]
-            by, bx = sy, sx
-            for dy in range(-seed_slack, seed_slack + 1):
-                for dx in range(-seed_slack, seed_slack + 1):
-                    yy = jnp.clip(sy + dy, 0, win_h - 1)
-                    xx = jnp.clip(sx + dx, 0, win_w - 1)
-                    v = win[yy, xx]
-                    take = v < best
-                    best = jnp.where(take, v, best)
-                    by = jnp.where(take, yy, by)
-                    bx = jnp.where(take, xx, bx)
-            sy, sx = by, bx
+            k = 2 * seed_slack + 1
+            py = jnp.clip(sy - seed_slack, 0, win_h - k)
+            px = jnp.clip(sx - seed_slack, 0, win_w - k)
+            patch = jax.lax.dynamic_slice(win, (py, px), (k, k))
+            off = jnp.argmin(patch.reshape(-1))
+            sy = py + off // k
+            sx = px + off - (off // k) * k
         seed_lab = lab[sy, sx]
         sel = lab == seed_lab
         rows = jax.lax.broadcasted_iota(jnp.int32, (win_h, win_w), 0)
