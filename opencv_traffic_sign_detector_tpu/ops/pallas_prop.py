@@ -60,22 +60,25 @@ def propagate_rolls_pallas(
     Caller guarantees border rows/cols of ``mask`` are False.
     """
     kern = functools.partial(_kernel, num_rolls=num_rolls, big=big)
+    p, h, w = keys.shape
+    # Grid over the leading (polarity) axis: each program holds one [1,H,W]
+    # block in VMEM.  Under vmap the batch dim simply extends the grid, so
+    # per-program VMEM stays bounded regardless of frame batch size.
+    block = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
+        grid=(p,),
         out_shape=jax.ShapeDtypeStruct(keys.shape, keys.dtype),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        in_specs=[block, block],
+        out_specs=block,
     )(keys, mask.astype(jnp.int8))
 
 
 def pallas_available_for(shape: tuple[int, ...]) -> bool:
     """Whether the resident-propagation kernel fits this problem on TPU."""
-    import math
-
-    elems = math.prod(shape)
+    # per-program block is one [1, H, W] slice of the stack
+    elems = shape[-1] * shape[-2]
     if elems > _VMEM_LIMIT_ELEMS:
         return False
     try:
