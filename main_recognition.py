@@ -10,6 +10,13 @@ Builds the training set (GT positives + MSER-mined negatives, proposal cache
 on disk), trains the configured classifier, runs the 10% held-out
 validation, prints the confusion matrix and classification report, and saves
 the trained model.
+
+Divergences from the reference CLI (`Reconocimiento de Objetos/main.py`):
+validation runs unconditionally instead of behind the interactive s/n
+prompt (whose "n" branch was unreachable anyway, main.py:62), and the
+test-set run the reference ships commented out (main.py:64) is exposed as
+--run_test.  The classifier grammar accepts both the reference's default
+spelling HOG_LDA_BAYES and the whitelist spelling HOG_LDA_LDABAYES.
 """
 
 from __future__ import annotations
