@@ -68,6 +68,8 @@ def main(argv=None) -> int:
     parser.add_argument("--per-file-stats", action="store_true")
     parser.add_argument("--downscale", type=int, default=1,
                         help="MSER-stage downscale (2 = fast mode)")
+    parser.add_argument("--max_regions", type=int, default=None,
+                        help="proposal capacity per frame (default 384)")
     parser.add_argument("--profile", action="store_true",
                         help="print per-stage wall-clock summary")
     parser.add_argument("--trace_dir", default=None,
@@ -90,6 +92,8 @@ def main(argv=None) -> int:
     if args.downscale > 1:
         mser = _dc.replace(mser, downscale=args.downscale, ccl_iters=24,
                            ccl_jumps=0)
+    if args.max_regions:
+        mser = _dc.replace(mser, max_regions=args.max_regions)
     cfg = PipelineConfig(mser=mser, batch_size=args.batch_size)
     train_path = args.train_path.replace("\\", "/")
     test_path = args.test_path.replace("\\", "/")
