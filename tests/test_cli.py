@@ -1,0 +1,40 @@
+"""CLI surface tests: grammar handling and the evaluation script."""
+
+import subprocess
+import sys
+
+
+def _run(script, *args):
+    return subprocess.run(
+        [sys.executable, script, *args],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+             "HOME": "/root", "PYTHONPATH": "/root/repo:/root/.axon_site"},
+        cwd="/root/repo",
+    )
+
+
+def test_detection_cli_rejects_bad_spec():
+    r = _run("main_detection.py", "--detector", "MSER_0_200_2000_0.5")
+    assert r.returncode == 2
+    assert "MSER_<delta>" in r.stdout
+
+
+def test_recognition_cli_rejects_bad_spec():
+    r = _run("main_recognition.py", "--classifier", "SIFT_PCA_SVM")
+    assert r.returncode == 2
+    assert "Invalid spec" in r.stdout
+
+
+def test_evaluate_results_cli(fixtures_dir, test_frames_dir):
+    r = _run(
+        "evaluate_results.py",
+        "--test_path", str(test_frames_dir),
+        "--detections_file", str(fixtures_dir / "instructor_practica2.txt"),
+        "--compare", str(fixtures_dir / "ref_resultado_MSER_7_200_2000_1.txt"),
+    )
+    assert r.returncode == 0, r.stderr
+    assert "AP=74.2" in r.stdout
+    assert "AP=4.3" in r.stdout
