@@ -62,6 +62,7 @@ def main(argv=None) -> int:
     parser.add_argument("--downscale", type=int, default=2,
                         help="MSER-stage downscale (2 = tuned fast mode)")
     parser.add_argument("--ccl_iters", type=int, default=24)
+    parser.add_argument("--level_step", type=int, default=5)
     args = parser.parse_args(argv)
 
     import jax
@@ -95,7 +96,7 @@ def main(argv=None) -> int:
     cfg = PipelineConfig(
         mser=MSERConfig(max_variation=1.0, max_regions=args.max_regions,
                         downscale=args.downscale, ccl_iters=args.ccl_iters,
-                        ccl_jumps=0),
+                        ccl_jumps=0, level_step=args.level_step),
         batch_size=args.batch,
     )
     red = jnp.asarray(templates.red)
