@@ -1,0 +1,74 @@
+"""Host input pipeline: decode-ahead batching.
+
+Decodes and assembles the next frame batch on a background thread while the
+device crunches the current one, overlapping JPEG decode (native C++ loader)
+with TPU compute — the input-pipeline-overlap stage of the scale-out plan
+(SURVEY.md §7.8).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+
+import numpy as np
+
+from .images import load_image_bgr
+
+
+def batched_frames(
+    directory: str,
+    files: list[str],
+    batch_size: int,
+    prefetch: int = 2,
+):
+    """Yield (frames [B,H,W,3], names [B]) with background decode-ahead.
+
+    The tail batch is padded by repeating the last frame; padded slots get
+    the name "__pad__".
+    """
+
+    def assemble(chunk: list[str]):
+        frames = np.stack(
+            [load_image_bgr(os.path.join(directory, f)) for f in chunk]
+        )
+        names = list(chunk)
+        if len(chunk) < batch_size:
+            reps = batch_size - len(chunk)
+            frames = np.concatenate([frames, frames[-1:].repeat(reps, 0)])
+            names += ["__pad__"] * reps
+        return frames, names
+
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+
+    def producer():
+        try:
+            for start in range(0, len(files), batch_size):
+                if stop.is_set():
+                    return
+                q.put(assemble(files[start : start + batch_size]))
+        except Exception as e:  # surface decode errors on the consumer side
+            q.put(e)
+        finally:
+            q.put(None)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, Exception):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        # drain so the producer can exit promptly
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break

@@ -31,6 +31,7 @@ from ..constants import (
 )
 from ..data.gt import GroundTruthBox
 from ..data.images import list_frame_files, load_image_bgr
+from ..data.prefetch import batched_frames
 from ..ops.dedup import dedup_by_coords, dedup_by_histogram
 from ..ops.geometry import filter_and_grow_boxes
 from ..ops.mser import mser_regions
@@ -126,18 +127,13 @@ class DetectionPipeline:
         files = list_frame_files(directory)
         bsz = self.cfg.batch_size
         detections: list[GroundTruthBox] = []
-        for start in range(0, len(files), bsz):
-            chunk = files[start : start + bsz]
-            frames = np.stack(
-                [load_image_bgr(f"{directory}/{f}") for f in chunk]
-            )
-            names = list(chunk)
-            if len(chunk) < bsz:  # pad the tail batch to the static shape
-                reps = bsz - len(chunk)
-                frames = np.concatenate([frames, frames[-1:].repeat(reps, 0)])
-                names += ["__pad__"] * reps
+        done = 0
+        # decode-ahead: the next batch is assembled on a background thread
+        # while the device processes the current one
+        for frames, names in batched_frames(directory, files, bsz):
             dets = self.detect_frames(frames, names)
             detections.extend(d for d in dets if d.filename != "__pad__")
+            done = min(done + bsz, len(files))
             if progress:
-                print(f"  processed {min(start + bsz, len(files))}/{len(files)} frames")
+                print(f"  processed {done}/{len(files)} frames")
         return detections

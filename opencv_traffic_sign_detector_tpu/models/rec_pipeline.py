@@ -27,6 +27,7 @@ from ..constants import (
 )
 from ..data.gt import GroundTruthBox
 from ..data.images import list_frame_files, load_image_bgr
+from ..data.prefetch import batched_frames
 from ..ops.color import bgr_to_gray
 from ..ops.dedup import dedup_by_coords, dedup_by_histogram
 from ..ops.geometry import filter_and_grow_boxes
@@ -194,18 +195,13 @@ class RecognitionPipeline:
         files = list_frame_files(directory)
         bsz = self.cfg.batch_size
         detections: list[GroundTruthBox] = []
-        for start in range(0, len(files), bsz):
-            chunk = files[start : start + bsz]
-            frames = np.stack(
-                [load_image_bgr(f"{directory}/{f}") for f in chunk]
-            )
-            names = list(chunk)
-            if len(chunk) < bsz:
-                reps = bsz - len(chunk)
-                frames = np.concatenate([frames, frames[-1:].repeat(reps, 0)])
-                names += ["__pad__"] * reps
+        done = 0
+        # decode-ahead: the next batch is assembled on a background thread
+        # while the device processes the current one
+        for frames, names in batched_frames(directory, files, bsz):
             dets = self.recognize_frames(frames, names)
             detections.extend(d for d in dets if d.filename != "__pad__")
+            done = min(done + bsz, len(files))
             if progress:
-                print(f"  processed {min(start + bsz, len(files))}/{len(files)} frames")
+                print(f"  processed {done}/{len(files)} frames")
         return detections
