@@ -46,6 +46,9 @@ def main():
 
     clf = SignClassifier.load(args.model)
     print(f"loaded {clf.config.to_string()} from {args.model}")
+    # NB: keep the proposal distribution matched to training (max_regions
+    # 512, level_step = delta): a tighter tuned detector config starves the
+    # classifier of candidates (measured: AP drops 0.141 -> 0.048).
     mser = MSERConfig(max_variation=1.0, max_regions=512,
                       downscale=args.downscale,
                       ccl_iters=24 if args.downscale > 1 else 16,
