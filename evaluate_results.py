@@ -9,6 +9,11 @@ AP, optionally compares against additional result files and writes a PR plot.
     python evaluate_results.py --test_path test_alumnos_jpg \
         --detections_file resultado.txt [--compare other1.txt other2.txt] \
         [--plot pr.png]
+
+Like the reference scorer (`Reconocimiento de Objetos/evaluar_resultados.py:
+333-371`), the two instructor golden files are overlaid by default whenever
+they can be found (working directory, the reference checkout, or the
+checked-in fixtures); pass --no_golden to score the student file alone.
 """
 
 from __future__ import annotations
@@ -16,6 +21,32 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+
+# Search order for the instructor golden result files (reference names
+# first, then the fixture copies checked into this repo).
+_GOLDEN_CANDIDATES = (
+    ("resultado_práctica1_jmbuena.txt",
+     "/root/reference/Reconocimiento de Objetos/"
+     "resultado_práctica1_jmbuena.txt",
+     os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                  "tests", "fixtures", "instructor_practica1.txt")),
+    ("resultado_práctica2_jmbuena.txt",
+     "/root/reference/Reconocimiento de Objetos/"
+     "resultado_práctica2_jmbuena.txt",
+     os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                  "tests", "fixtures", "instructor_practica2.txt")),
+)
+
+
+def find_golden_files() -> list[str]:
+    """Locate the instructor golden result files, if present anywhere."""
+    found = []
+    for candidates in _GOLDEN_CANDIDATES:
+        for path in candidates:
+            if os.path.exists(path):
+                found.append(path)
+                break
+    return found
 
 from opencv_traffic_sign_detector_tpu.eval.ap import (
     pr_from_tp_fp,
@@ -48,12 +79,18 @@ def main(argv=None) -> int:
     parser.add_argument("--detections_file", default="resultado.txt")
     parser.add_argument("--compare", nargs="*", default=[],
                         help="additional result files to overlay")
+    parser.add_argument("--no_golden", action="store_true",
+                        help="skip the default instructor golden-file overlay")
     parser.add_argument("--plot", default=None, help="write PR curve PNG here")
     args = parser.parse_args(argv)
 
     gt = load_ground_truth(os.path.join(args.test_path, "gt.txt"))
     results = [score(args.detections_file, gt)]
-    for extra in args.compare:
+    compare = list(args.compare)
+    if not args.no_golden:
+        # reference behaviour: overlay both instructor curves by default
+        compare += [g for g in find_golden_files() if g not in compare]
+    for extra in compare:
         results.append(score(extra, gt))
 
     for r in results:

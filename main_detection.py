@@ -42,6 +42,7 @@ from opencv_traffic_sign_detector_tpu.utils.annotate import (
     save_image_bgr,
 )
 from opencv_traffic_sign_detector_tpu.utils.serialization import write_results_file
+from opencv_traffic_sign_detector_tpu.utils.stages import StageError, stage
 
 USAGE_HINT = """\
 Detector spec: MSER_<delta>_<minArea>_<maxArea>_<maxVariation>
@@ -70,6 +71,9 @@ def main(argv=None) -> int:
                         help="MSER-stage downscale (2 = fast mode)")
     parser.add_argument("--max_regions", type=int, default=None,
                         help="proposal capacity per frame (default 384)")
+    parser.add_argument("--n_devices", type=int, default=0,
+                        help="shard each batch over this many devices "
+                             "(0 = single device)")
     parser.add_argument("--profile", action="store_true",
                         help="print per-stage wall-clock summary")
     parser.add_argument("--trace_dir", default=None,
@@ -99,50 +103,70 @@ def main(argv=None) -> int:
     test_path = args.test_path.replace("\\", "/")
     prof = StageProfiler()
 
-    print(f"[1/4] training mean-mask templates from {train_path} ...")
-    t0 = time.time()
-    with prof.stage("train_templates"):
-        templates = train_mean_masks(train_path)
-    print(f"      done in {time.time() - t0:.1f}s")
+    # Stage-level failure isolation, matching the reference orchestrator's
+    # per-stage try/except banners (`Deteción de Objetos/source.py:618-626`):
+    # a failing stage prints one banner and stops cleanly (exit code 1).
+    try:
+        print(f"[1/4] training mean-mask templates from {train_path} ...")
+        t0 = time.time()
+        with stage("train mean-mask templates"), prof.stage("train_templates"):
+            templates = train_mean_masks(train_path)
+        print(f"      done in {time.time() - t0:.1f}s")
 
-    print(f"[2/4] detecting over {test_path} "
-          f"(delta={mser.delta} area=[{mser.min_area},{mser.max_area}] "
-          f"maxVar={mser.max_variation}) ...")
-    pipe = DetectionPipeline(cfg=cfg, templates=templates)
-    t0 = time.time()
-    n_total = len(list_frame_files(test_path))
-    with xla_trace(args.trace_dir), prof.stage("detect", items=n_total):
-        detections = pipe.run_directory(test_path, progress=True)
-    dt = time.time() - t0
-    n_frames = len(list_frame_files(test_path))
-    print(f"      {len(detections)} detections over {n_frames} frames "
-          f"in {dt:.1f}s ({n_frames / max(dt, 1e-9):.2f} fps)")
+        print(f"[2/4] detecting over {test_path} "
+              f"(delta={mser.delta} area=[{mser.min_area},{mser.max_area}] "
+              f"maxVar={mser.max_variation}) ...")
+        with stage("detect over test directory"):
+            mesh = None
+            if args.n_devices:
+                from opencv_traffic_sign_detector_tpu.parallel.mesh import (
+                    data_mesh,
+                )
 
-    print(f"[3/4] writing {args.out}"
-          + ("" if args.no_images else f" and {args.out_imgs}/"))
-    write_results_file(args.out, detections)
-    if not args.no_images:
-        if os.path.isdir(args.out_imgs):
-            shutil.rmtree(args.out_imgs)
-        os.mkdir(args.out_imgs)
-        per_file = boxes_by_file(detections)
-        for fname in list_frame_files(test_path):
-            img = load_image_bgr(os.path.join(test_path, fname))
-            boxes = [(d.x1, d.y1, d.x2, d.y2) for d in per_file.get(fname, [])]
-            save_image_bgr(
-                os.path.join(args.out_imgs, fname), draw_boxes_bgr(img, boxes)
-            )
+                mesh = data_mesh(args.n_devices)
+                print(f"      sharding batches over {args.n_devices} devices")
+            pipe = DetectionPipeline(cfg=cfg, templates=templates, mesh=mesh)
+            t0 = time.time()
+            n_total = len(list_frame_files(test_path))
+            with xla_trace(args.trace_dir), prof.stage("detect", items=n_total):
+                detections = pipe.run_directory(test_path, progress=True)
+            dt = time.time() - t0
+            n_frames = len(list_frame_files(test_path))
+            print(f"      {len(detections)} detections over {n_frames} frames "
+                  f"in {dt:.1f}s ({n_frames / max(dt, 1e-9):.2f} fps)")
 
-    gt_path = os.path.join(test_path, "gt.txt")
-    if os.path.exists(gt_path):
-        print("[4/4] statistics vs", gt_path)
-        stats = compute_detection_statistics(detections, gt_path)
-        print(format_stats_report(stats, per_file=args.per_file_stats))
-        ap = score_detection_files(args.out, gt_path)
-        print(f"\nPASCAL AP@0.5: {ap['ap']:.4f}  (11pt: {ap['ap_11pt']:.4f}, "
-              f"{ap['n_det']} detections, {ap['n_gt']} GT)")
-    else:
-        print("[4/4] no gt.txt found; skipping statistics")
+        print(f"[3/4] writing {args.out}"
+              + ("" if args.no_images else f" and {args.out_imgs}/"))
+        with stage("serialize results"):
+            write_results_file(args.out, detections)
+            if not args.no_images:
+                if os.path.isdir(args.out_imgs):
+                    shutil.rmtree(args.out_imgs)
+                os.mkdir(args.out_imgs)
+                per_file = boxes_by_file(detections)
+                for fname in list_frame_files(test_path):
+                    img = load_image_bgr(os.path.join(test_path, fname))
+                    boxes = [(d.x1, d.y1, d.x2, d.y2)
+                             for d in per_file.get(fname, [])]
+                    save_image_bgr(
+                        os.path.join(args.out_imgs, fname),
+                        draw_boxes_bgr(img, boxes),
+                    )
+
+        gt_path = os.path.join(test_path, "gt.txt")
+        if os.path.exists(gt_path):
+            print("[4/4] statistics vs", gt_path)
+            with stage("statistics vs ground truth"):
+                stats = compute_detection_statistics(detections, gt_path)
+                print(format_stats_report(stats, per_file=args.per_file_stats))
+                ap = score_detection_files(args.out, gt_path)
+                print(f"\nPASCAL AP@0.5: {ap['ap']:.4f}  "
+                      f"(11pt: {ap['ap_11pt']:.4f}, "
+                      f"{ap['n_det']} detections, {ap['n_gt']} GT)")
+        else:
+            print("[4/4] no gt.txt found; skipping statistics")
+    except StageError:
+        return 1
 
     if args.profile:
         print("\n== stage profile ==")

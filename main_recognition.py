@@ -32,6 +32,7 @@ from opencv_traffic_sign_detector_tpu.config import (
 )
 from opencv_traffic_sign_detector_tpu.constants import SIGN_NAMES
 from opencv_traffic_sign_detector_tpu.models.recognizer import run_validation
+from opencv_traffic_sign_detector_tpu.utils.stages import StageError, stage
 
 
 def main(argv=None) -> int:
@@ -74,19 +75,30 @@ def main(argv=None) -> int:
         mser = _dc.replace(mser, downscale=args.downscale, ccl_iters=24,
                            ccl_jumps=0)
 
+    # Stage-level failure isolation, matching the reference validation
+    # harness's per-stage try/except banners (`Reconocimiento de
+    # Objetos/source.py:653-661`).
+    try:
+        return _run(args, mser, clf_cfg)
+    except StageError:
+        return 1
+
+
+def _run(args, mser, clf_cfg) -> int:
     print(f"validating {clf_cfg.to_string()} with detector {mser.to_string()}")
     t0 = time.time()
-    result = run_validation(
-        args.train_path.replace("\\", "/"),
-        mser_cfg=mser,
-        clf_cfg=clf_cfg,
-        validation_pct=args.validation_pct,
-        no_sign_tol=args.no_sign_tol,
-        cache_path=args.cache,
-        limit=args.limit,
-        seed=args.seed,
-        verbose=True,
-    )
+    with stage("train + validate classifier"):
+        result = run_validation(
+            args.train_path.replace("\\", "/"),
+            mser_cfg=mser,
+            clf_cfg=clf_cfg,
+            validation_pct=args.validation_pct,
+            no_sign_tol=args.no_sign_tol,
+            cache_path=args.cache,
+            limit=args.limit,
+            seed=args.seed,
+            verbose=True,
+        )
     print(f"\ntraining + validation took {time.time() - t0:.1f}s")
     print("\nconfusion matrix (rows = true, cols = predicted):")
     header = " ".join(f"{n[:6]:>7}" for n in SIGN_NAMES)
@@ -97,53 +109,63 @@ def main(argv=None) -> int:
     print(f"\nvalidation accuracy: {result.accuracy:.4f}")
 
     if args.confusion_plot:
-        import matplotlib
+        _write_confusion_plot(args, result)
 
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-
-        fig, ax = plt.subplots(figsize=(7, 6))
-        im = ax.imshow(result.confusion, cmap="Blues")
-        ax.set_xticks(range(len(SIGN_NAMES)))
-        ax.set_yticks(range(len(SIGN_NAMES)))
-        ax.set_xticklabels(SIGN_NAMES, rotation=45, ha="right")
-        ax.set_yticklabels(SIGN_NAMES)
-        ax.set_xlabel("Predicted label")
-        ax.set_ylabel("True label")
-        for i in range(result.confusion.shape[0]):
-            for j in range(result.confusion.shape[1]):
-                ax.text(j, i, str(result.confusion[i, j]),
-                        ha="center", va="center", fontsize=8)
-        ax.set_title(f"clasificador {args.classifier}")
-        fig.colorbar(im, ax=ax)
-        fig.tight_layout()
-        fig.savefig(args.confusion_plot, dpi=120)
-        print(f"confusion matrix plot saved to {args.confusion_plot}")
-
-    result.classifier.save(args.model_out)
-    print(f"model saved to {args.model_out}/")
+    with stage("save trained model"):
+        result.classifier.save(args.model_out)
+        print(f"model saved to {args.model_out}/")
 
     if args.run_test:
-        from opencv_traffic_sign_detector_tpu.config import PipelineConfig
-        from opencv_traffic_sign_detector_tpu.models.rec_pipeline import (
-            RecognitionPipeline,
-        )
-        from opencv_traffic_sign_detector_tpu.utils.serialization import (
-            write_results_file,
-        )
-
-        test_path = args.test_path.replace("\\", "/")
-        print(f"\nrunning recognizer over {test_path} ...")
-        pipe = RecognitionPipeline(
-            cfg=PipelineConfig(mser=mser, no_sign_tol=args.no_sign_tol),
-            classifier=result.classifier,
-        )
-        t0 = time.time()
-        dets = pipe.run_directory(test_path, progress=True)
-        print(f"{len(dets)} detections in {time.time() - t0:.1f}s; "
-              f"writing {args.out}")
-        write_results_file(args.out, dets)
+        with stage("recognizer test-set inference"):
+            _run_test(args, mser, result)
     return 0
+
+
+def _write_confusion_plot(args, result) -> None:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(7, 6))
+    im = ax.imshow(result.confusion, cmap="Blues")
+    ax.set_xticks(range(len(SIGN_NAMES)))
+    ax.set_yticks(range(len(SIGN_NAMES)))
+    ax.set_xticklabels(SIGN_NAMES, rotation=45, ha="right")
+    ax.set_yticklabels(SIGN_NAMES)
+    ax.set_xlabel("Predicted label")
+    ax.set_ylabel("True label")
+    for i in range(result.confusion.shape[0]):
+        for j in range(result.confusion.shape[1]):
+            ax.text(j, i, str(result.confusion[i, j]),
+                    ha="center", va="center", fontsize=8)
+    ax.set_title(f"clasificador {args.classifier}")
+    fig.colorbar(im, ax=ax)
+    fig.tight_layout()
+    fig.savefig(args.confusion_plot, dpi=120)
+    print(f"confusion matrix plot saved to {args.confusion_plot}")
+
+
+def _run_test(args, mser, result) -> None:
+    from opencv_traffic_sign_detector_tpu.config import PipelineConfig
+    from opencv_traffic_sign_detector_tpu.models.rec_pipeline import (
+        RecognitionPipeline,
+    )
+    from opencv_traffic_sign_detector_tpu.utils.serialization import (
+        write_results_file,
+    )
+
+    test_path = args.test_path.replace("\\", "/")
+    print(f"\nrunning recognizer over {test_path} ...")
+    pipe = RecognitionPipeline(
+        cfg=PipelineConfig(mser=mser, no_sign_tol=args.no_sign_tol),
+        classifier=result.classifier,
+    )
+    t0 = time.time()
+    dets = pipe.run_directory(test_path, progress=True)
+    print(f"{len(dets)} detections in {time.time() - t0:.1f}s; "
+          f"writing {args.out}")
+    write_results_file(args.out, dets)
 
 
 if __name__ == "__main__":

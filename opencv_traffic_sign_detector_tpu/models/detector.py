@@ -85,10 +85,34 @@ def detect_batch(
 
 @dataclasses.dataclass
 class DetectionPipeline:
-    """Host-facing detector: owns the trained templates and the jitted fn."""
+    """Host-facing detector: owns the trained templates and the jitted fn.
+
+    With ``mesh`` set (a 1-D data mesh from :func:`..parallel.mesh.
+    data_mesh`), each batch is sharded over the mesh's devices and the
+    whole per-frame pipeline runs SPMD with zero collectives — the
+    multi-chip scale-out path for inference (SURVEY.md §2.5).
+    """
 
     cfg: PipelineConfig
     templates: MeanMaskTemplates
+    mesh: object | None = None  # jax.sharding.Mesh for multi-chip inference
+    _sharded_fn: object = dataclasses.field(default=None, repr=False)
+
+    def __post_init__(self) -> None:
+        if self.mesh is not None:
+            from ..parallel.mesh import sharded_detect_fn
+
+            n_dev = self.mesh.devices.size
+            if self.cfg.batch_size % n_dev:
+                raise ValueError(
+                    f"batch_size {self.cfg.batch_size} must be divisible by "
+                    f"the mesh size {n_dev}"
+                )
+            cfg = self.cfg
+            self._sharded_fn = sharded_detect_fn(
+                self.mesh, cfg,
+                lambda f, r, b: detect_batch(f, r, b, cfg),
+            )
 
     def detect_frames(
         self, frames: np.ndarray, names: list[str]
@@ -96,9 +120,16 @@ class DetectionPipeline:
         """Run a [B, H, W, 3] uint8 batch; unpad into detection records."""
         red = jnp.asarray(self.templates.red)
         blue = jnp.asarray(self.templates.blue)
-        boxes, types, scores, valid = detect_batch(
-            jnp.asarray(frames), red, blue, self.cfg
-        )
+        if self._sharded_fn is not None:
+            from ..parallel.mesh import shard_batch
+
+            boxes, types, scores, valid = self._sharded_fn(
+                shard_batch(self.mesh, np.asarray(frames)), red, blue
+            )
+        else:
+            boxes, types, scores, valid = detect_batch(
+                jnp.asarray(frames), red, blue, self.cfg
+            )
         boxes = np.asarray(boxes)
         types = np.asarray(types)
         scores = np.asarray(scores)

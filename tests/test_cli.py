@@ -34,7 +34,32 @@ def test_evaluate_results_cli(fixtures_dir, test_frames_dir):
         "--test_path", str(test_frames_dir),
         "--detections_file", str(fixtures_dir / "instructor_practica2.txt"),
         "--compare", str(fixtures_dir / "ref_resultado_MSER_7_200_2000_1.txt"),
+        "--no_golden",
     )
     assert r.returncode == 0, r.stderr
     assert "AP=74.2" in r.stdout
     assert "AP=4.3" in r.stdout
+
+
+def test_evaluate_results_overlays_goldens_by_default(fixtures_dir,
+                                                      test_frames_dir):
+    # reference behaviour: both instructor curves are scored automatically
+    # (`Reconocimiento de Objetos/evaluar_resultados.py:333-371`)
+    r = _run(
+        "evaluate_results.py",
+        "--test_path", str(test_frames_dir),
+        "--detections_file", str(fixtures_dir / "instructor_practica2.txt"),
+    )
+    assert r.returncode == 0, r.stderr
+    assert "AP=66.4" in r.stdout  # práctica-1 golden
+    assert r.stdout.count("AP=74.2") == 2  # student file + práctica-2 golden
+
+
+def test_detection_cli_stage_failure_is_isolated(tmp_path):
+    # An unreadable train path must produce the stage banner and exit 1
+    # without a traceback (reference: DET/source.py:618-626 banners).
+    r = _run("main_detection.py", "--train_path", str(tmp_path / "nope"),
+             "--test_path", str(tmp_path / "nope"))
+    assert r.returncode == 1
+    assert "STAGE FAILED (train mean-mask templates)" in r.stdout
+    assert "Traceback" not in r.stdout + r.stderr

@@ -63,6 +63,84 @@ def test_distributed_lda_fit_matches_single_device():
     assert (scores.argmax(1) == y).mean() > 0.9
 
 
+def test_sharded_detect_batch_matches_single_device():
+    """Multi-chip *inference*: detect_batch sharded over the mesh equals the
+    single-device run bit-for-bit (no cross-frame dependence)."""
+    from opencv_traffic_sign_detector_tpu.config import PipelineConfig
+    from opencv_traffic_sign_detector_tpu.models.detector import detect_batch
+    from opencv_traffic_sign_detector_tpu.parallel.mesh import sharded_detect_fn
+
+    rng = np.random.default_rng(21)
+    b, h, w = 8, 128, 160
+    frames = rng.integers(80, 170, (b, h, w, 3), np.uint8)
+    for i in range(b):  # plant a dark square "sign" per frame
+        x, y = 30 + (i % 4) * 12, 40
+        frames[i, y : y + 20, x : x + 20] = 20
+    red = (rng.random((6, 625)) < 0.3).astype(np.float32)
+    blue = (rng.random((6, 625)) < 0.3).astype(np.float32)
+    cfg = PipelineConfig(
+        mser=MSERConfig(min_area=60, max_area=1200, max_variation=1.0,
+                        max_regions=32),
+        max_detections=16,
+        batch_size=b,
+    )
+
+    single = detect_batch(jnp.asarray(frames), jnp.asarray(red),
+                          jnp.asarray(blue), cfg)
+
+    mesh = data_mesh()
+    fn = sharded_detect_fn(mesh, cfg,
+                           lambda f, r, b_: detect_batch(f, r, b_, cfg))
+    sharded = fn(shard_batch(mesh, frames), jnp.asarray(red),
+                 jnp.asarray(blue))
+    assert sharded[0].sharding.spec == batch_sharding(mesh).spec
+    for s, ref in zip(sharded, single):
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(ref))
+
+
+def test_detection_pipeline_accepts_mesh():
+    """DetectionPipeline(mesh=...) routes batches through the sharded fn."""
+    from opencv_traffic_sign_detector_tpu.config import PipelineConfig
+    from opencv_traffic_sign_detector_tpu.models.detector import (
+        DetectionPipeline,
+    )
+    from opencv_traffic_sign_detector_tpu.models.mean_masks import (
+        MeanMaskTemplates,
+    )
+
+    rng = np.random.default_rng(22)
+    templates = MeanMaskTemplates(
+        red=(rng.random((6, 625)) < 0.3).astype(np.float32),
+        blue=(rng.random((6, 625)) < 0.3).astype(np.float32),
+    )
+    cfg = PipelineConfig(
+        mser=MSERConfig(min_area=60, max_area=1200, max_variation=1.0,
+                        max_regions=32),
+        max_detections=16,
+        batch_size=8,
+    )
+    frames = rng.integers(80, 170, (8, 128, 160, 3), np.uint8)
+    frames[:, 40:60, 30:50] = 20
+    names = [f"{i:05d}.jpg" for i in range(8)]
+
+    pipe = DetectionPipeline(cfg=cfg, templates=templates, mesh=data_mesh())
+    assert pipe._sharded_fn is not None
+    dets_sharded = pipe.detect_frames(frames, names)
+    dets_single = DetectionPipeline(cfg=cfg, templates=templates).detect_frames(
+        frames, names
+    )
+    assert [(d.filename, d.x1, d.y1, d.x2, d.y2, d.class_id)
+            for d in dets_sharded] == [
+        (d.filename, d.x1, d.y1, d.x2, d.y2, d.class_id) for d in dets_single
+    ]
+
+    with pytest.raises(ValueError, match="divisible"):
+        DetectionPipeline(
+            cfg=PipelineConfig(mser=cfg.mser, batch_size=3),
+            templates=templates, mesh=data_mesh(),
+        )
+
+
 def test_distributed_train_step_compiles_and_runs():
     """Full SPMD train step (MSER -> HOG -> psum LDA) on tiny frames."""
     mesh = data_mesh()
