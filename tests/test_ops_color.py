@@ -1,5 +1,6 @@
 """Oracle tests: color/preprocessing kernels vs OpenCV on real frames."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -96,6 +97,42 @@ def test_clahe_close_to_opencv(frame):
     # interpolation rounding may differ by 1 count on a tiny pixel fraction
     assert diff.max() <= 1
     assert (diff == 0).mean() > 0.999
+
+
+def test_clahe_pallas_matches_xla_path(frame):
+    """The TPU Pallas CLAHE kernels (interpret mode here) must agree with
+    the XLA reference path within +-1 gray level on ~all pixels."""
+    from opencv_traffic_sign_detector_tpu.ops.clahe_pallas import (
+        clahe_equalize_pallas,
+        pallas_ok_for,
+    )
+
+    cv2 = require_cv2()
+    gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+    h, w = gray.shape
+    h8, w8 = (h // 16) * 16, (w // 8) * 8  # pallas path geometry
+    gray = gray[:h8, :w8]
+    assert pallas_ok_for(h8, w8)
+    ref = np.asarray(clahe_equalize(gray)).astype(np.int32)
+    out = np.asarray(
+        clahe_equalize_pallas(jnp.asarray(gray[None]), interpret=True)[0]
+    ).astype(np.int32)
+    diff = np.abs(ref - out)
+    assert diff.max() <= 1
+    assert (diff == 0).mean() > 0.999
+
+
+def test_clahe_pallas_histogram_exact():
+    from opencv_traffic_sign_detector_tpu.ops.clahe import _tile_histograms
+    from opencv_traffic_sign_detector_tpu.ops.clahe_pallas import (
+        tile_histograms_pallas,
+    )
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.integers(0, 256, (2, 64, 128), np.uint8))
+    ref = np.asarray(_tile_histograms(x, 8))
+    out = np.asarray(tile_histograms_pallas(x, 8, interpret=True))
+    np.testing.assert_array_equal(ref, out)
 
 
 def test_enhance_contrast_close_to_opencv(frame):
