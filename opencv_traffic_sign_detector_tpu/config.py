@@ -39,6 +39,19 @@ class MSERConfig:
     min_diversity: float = 0.2  # OpenCV default, not exposed by the grammar
     ccl_iters: int = 16  # roll iterations per propagation round (2 rounds)
     ccl_jumps: int = 1  # pointer jumps per round (gathers; 0 = rolls only)
+    # Fused Pallas level sweep (TPU): whole sweep VMEM-resident, stability
+    # from component *bbox* areas (see ops/mser_pallas.py).  Auto-falls back
+    # to the XLA sweep on CPU, with ccl_jumps > 0, or when the frame does
+    # not fit VMEM.
+    fused_sweep: bool = True
+    # Upper area bound multiplier for the fused sweep's bbox-area filter
+    # (bbox area >= pixel area; the exact pixel-area window is re-applied
+    # post-refinement).  2.0 measured best on the GTSDB set (PARITY.md).
+    bbox_area_cap_scale: float = 2.0
+    # Candidate top-k pooling factor: stability maps are max-pooled
+    # (pool x pool) with in-block argmax before the top-k (16x less top-k
+    # work at pool=4).  1 = exact (rank every pixel).
+    topk_pool: int = 4
     # MSER-stage spatial downscale (1 = native res; 2 = 2x2-mean half res
     # with area thresholds scaled by 1/4 — ~4x faster sweep, slight recall
     # cost on the smallest signs).  Boxes are returned in native coords.

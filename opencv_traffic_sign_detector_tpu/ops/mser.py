@@ -46,10 +46,14 @@ import jax.numpy as jnp
 
 from ..config import MSERConfig
 from .ccl import propagate_min_keys
+from .mser_pallas import fused_level_sweep, fused_sweep_ok
 
 # Static window size for bbox refinement; sign-scale components at the
 # default max_area=2000 fit comfortably in 128x128.
 _WIN = 128
+# Flood radius for refinement = 2 * _REFINE_ROLLS (two roll rounds in
+# propagate_min_keys); 48 covers any component that fits the window.
+_REFINE_ROLLS = 48
 
 
 def _level_sweep(im2: jnp.ndarray, levels, cfg: MSERConfig, d_idx: int):
@@ -88,7 +92,7 @@ def _level_sweep(im2: jnp.ndarray, levels, cfg: MSERConfig, d_idx: int):
     # At step t we compute A[t] and V[t-d], then emit candidates for level
     # t-d-1 (centre V with both level-neighbours known).
     def step(carry, level):
-        keys_prev, a_ring, v_ring = carry
+        keys_prev, a_ring, v_ring, last_emit = carry
         mask = im2 <= level
         keys_in = jnp.where(mask, jnp.minimum(keys_prev, keys0), big)
         # frames are padded with intensity 255, so masks below level 255
@@ -122,17 +126,28 @@ def _level_sweep(im2: jnp.ndarray, levels, cfg: MSERConfig, d_idx: int):
             & (v_c <= v_ring[0])
             & (v_c <= v_new)
         )
+        # min_diversity (cv2 default 0.2): prune nested re-emissions on the
+        # same anchor chain unless the region grew enough since the last
+        # emitted candidate (matches the fused Pallas sweep's rule)
+        area_f = area_c.astype(jnp.float32)
+        diverse = (last_emit <= 0.0) | (
+            (area_f - last_emit)
+            >= cfg.min_diversity * jnp.maximum(area_f, 1.0)
+        )
+        cand = cand & diverse
+        last_emit = jnp.where(cand, area_f, last_emit)
         qv = jnp.clip(254.0 - jnp.floor(v_c * 253.0), 1.0, 254.0)
         sb = jnp.where(cand, qv, 0.0).astype(jnp.uint8).reshape(p, hw)
 
         a_ring = jnp.concatenate([a_ring[1:], a_cur[None]], axis=0)
         v_ring = jnp.stack([v_ring[1], v_new])
-        return (keys, a_ring, v_ring), sb
+        return (keys, a_ring, v_ring, last_emit), sb
 
     init = (
         jnp.where(im2 < 0, keys0, big),  # varying-typed "all background"
         jnp.tile(jnp.zeros_like(im2, dtype=jnp.uint16)[None], (d + 1, 1, 1, 1)),
         jnp.tile(jnp.full_like(im2, jnp.inf, dtype=jnp.float32)[None], (2, 1, 1, 1)),
+        jnp.zeros_like(im2, dtype=jnp.float32),  # last-emitted area
     )
     _, sb = jax.lax.scan(step, init, levels_arr)
     return sb  # [L, 2, HW]
@@ -140,8 +155,19 @@ def _level_sweep(im2: jnp.ndarray, levels, cfg: MSERConfig, d_idx: int):
 
 def _refine_boxes(im2: jnp.ndarray, seeds_yx: jnp.ndarray, levels: jnp.ndarray,
                   polarity: jnp.ndarray, num_rolls: int, seed_slack: int = 0):
-    """Per candidate: local roll-CCL in a window centred on its anchor at its
-    level; bbox of the anchor's component.  -> boxes_xywh [N, 4] int32."""
+    """Per candidate: local flood fill in a window centred on its anchor at
+    its level; bbox + pixel area of the seed's component.
+
+    -> (boxes_xywh [N, 4] int32, areas [N] int32).
+
+    Structure: vmapped window extraction (one dynamic slice each), then ONE
+    batched jump-free seed-indicator propagation over the [N, win, win]
+    stack — min-propagating a {0 at seed, BIG elsewhere} map under the mask
+    reaches exactly the seed's connected component, needs no label gather
+    at the end, and dispatches to the VMEM-resident Pallas roll kernel
+    (`.pallas_prop`).  The previous formulation's per-window pointer jumps
+    were ~32M random gathers per batch (~60% of pipeline time).
+    """
     _, h, w = im2.shape
     win_h = min(_WIN, h)
     win_w = min(_WIN, w)
@@ -153,15 +179,11 @@ def _refine_boxes(im2: jnp.ndarray, seeds_yx: jnp.ndarray, levels: jnp.ndarray,
     inner[1:-1, 1:-1] = True
     inner = jnp.asarray(inner)
 
-    def one(seed, level, pol):
+    def extract(seed, level, pol):
         y, x = seed[0], seed[1]
         y0 = jnp.clip(y - win_h // 2, 0, max(h - win_h, 0))
         x0 = jnp.clip(x - win_w // 2, 0, max(w - win_w, 0))
         win = jax.lax.dynamic_slice(im2, (pol, y0, x0), (1, win_h, win_w))[0]
-        mask = (win <= level) & inner
-        lidx = jnp.arange(win_h * win_w, dtype=jnp.int32).reshape(win_h, win_w)
-        lab = propagate_min_keys(lidx, mask, big, num_rolls=min(num_rolls, 16),
-                                 num_jumps=1, edges_safe=True)
         sy, sx = y - y0, x - x0
         if seed_slack > 0:
             # seeds mapped from a downscaled sweep land near, not on, the
@@ -174,19 +196,32 @@ def _refine_boxes(im2: jnp.ndarray, seeds_yx: jnp.ndarray, levels: jnp.ndarray,
             off = jnp.argmin(patch.reshape(-1))
             sy = py + off // k
             sx = px + off - (off // k) * k
-        seed_lab = lab[sy, sx]
-        sel = lab == seed_lab
-        rows = jax.lax.broadcasted_iota(jnp.int32, (win_h, win_w), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (win_h, win_w), 1)
-        ymin = jnp.min(jnp.where(sel, rows, big))
-        ymax = jnp.max(jnp.where(sel, rows, -1))
-        xmin = jnp.min(jnp.where(sel, cols, big))
-        xmax = jnp.max(jnp.where(sel, cols, -1))
-        return jnp.stack(
-            [x0 + xmin, y0 + ymin, xmax - xmin + 1, ymax - ymin + 1]
-        )
+        return win, y0, x0, sy, sx
 
-    return jax.vmap(one)(seeds_yx, levels, polarity)
+    wins, y0s, x0s, sys_, sxs = jax.vmap(extract)(seeds_yx, levels, polarity)
+
+    mask = (wins <= levels[:, None, None]) & inner[None]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (win_h, win_w), 0)[None]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (win_h, win_w), 1)[None]
+    seed_map = jnp.where(
+        (rows == sys_[:, None, None]) & (cols == sxs[:, None, None]),
+        jnp.int32(0),
+        jnp.int32(big),
+    )
+    # flood the seed's component: radius = 2*num_rolls (two roll rounds)
+    reach = propagate_min_keys(seed_map, mask, big, num_rolls=num_rolls,
+                               num_jumps=0, edges_safe=True)
+    sel = reach == 0
+
+    ymin = jnp.min(jnp.where(sel, rows, big), axis=(1, 2))
+    ymax = jnp.max(jnp.where(sel, rows, -1), axis=(1, 2))
+    xmin = jnp.min(jnp.where(sel, cols, big), axis=(1, 2))
+    xmax = jnp.max(jnp.where(sel, cols, -1), axis=(1, 2))
+    area = jnp.sum(sel.astype(jnp.int32), axis=(1, 2))
+    boxes = jnp.stack(
+        [x0s + xmin, y0s + ymin, xmax - xmin + 1, ymax - ymin + 1], axis=-1
+    )
+    return boxes, area
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -205,6 +240,51 @@ def mser_regions(gray: jnp.ndarray, cfg: MSERConfig):
         # leak between opposite edges (propagate_min_keys edge handling)
         return jnp.pad(both, ((0, 0), (1, 1), (1, 1)), constant_values=255)
 
+    def pooled_topk(sb4, c, levels, d_idx):
+        """Pooled candidate selection on [2, L, H, W] stability bytes.
+
+        Max-pools (pool x pool) spatial blocks with the in-block position
+        packed into the value's low bits, then top-k's the pooled map —
+        pool^2 x less top-k work for the same stability ranking (block
+        collisions merge same-level anchors < pool px apart, which dedup
+        would merge anyway).  -> (seeds, level_vals, pol_idx, valid).
+        """
+        pool = max(1, c.topk_pool)
+        p2, nl, h, w = sb4.shape
+        s = c.level_step if c.level_step > 0 else c.delta
+        bits = max((pool * pool - 1).bit_length(), 1)
+        ph, pw = (-h) % pool, (-w) % pool
+        x = sb4.astype(jnp.int32)
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, ph), (0, pw)))
+        hp, wp = h + ph, w + pw
+        rows = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+        local = (rows % pool) * pool + cols % pool
+        comb = x * (1 << bits) + local
+        h4, w4 = hp // pool, wp // pool
+        pooled = comb.reshape(p2, nl, h4, pool, w4, pool).max(axis=(3, 5))
+
+        n = c.max_regions
+        top_vals, top_idx = jax.lax.top_k(pooled.reshape(-1), n)
+        valid = top_vals >= (1 << bits)  # stability byte > 0
+
+        per_level = h4 * w4
+        pol_idx = top_idx // (nl * per_level)
+        rem = top_idx - pol_idx * nl * per_level
+        t_idx = rem // per_level
+        rem = rem - t_idx * per_level
+        y4 = rem // w4
+        x4 = rem - y4 * w4
+        local = top_vals & ((1 << bits) - 1)
+        y = y4 * pool + local // pool
+        xx = x4 * pool + local % pool
+        level_vals = jnp.maximum(
+            jnp.asarray(levels, jnp.int32)[t_idx] - (d_idx + 1) * s, 0
+        )
+        seeds = jnp.stack([y, xx], axis=-1).astype(jnp.int32)
+        return seeds, level_vals, pol_idx, valid
+
     def sweep_candidates(gr, c):
         """Run the level sweep on one frame; return top-k candidates.
 
@@ -219,6 +299,14 @@ def mser_regions(gray: jnp.ndarray, cfg: MSERConfig):
         im2 = pad_pol(gr)
         h, w = h0 + 2, w0 + 2
         hw = h * w
+
+        if c.fused_sweep and fused_sweep_ok(h, w, c):
+            # fused Pallas sweep: [2, L, H, W] stability bytes
+            sb4 = fused_level_sweep(im2, c, d_idx, len(levels))
+            seeds, level_vals, pol_idx, valid = pooled_topk(
+                sb4, c, levels, d_idx
+            )
+            return seeds, level_vals, pol_idx, valid, im2, True
 
         sb = _level_sweep(im2, levels, c, d_idx)  # [L, 2, HW]
         n = c.max_regions
@@ -236,7 +324,7 @@ def mser_regions(gray: jnp.ndarray, cfg: MSERConfig):
             jnp.asarray(levels, jnp.int32)[t_idx] - (d_idx + 1) * s, 0
         )
         seeds = jnp.stack([q // w, q - (q // w) * w], axis=-1).astype(jnp.int32)
-        return seeds, level_vals, pol_idx, valid, im2
+        return seeds, level_vals, pol_idx, valid, im2, False
 
     ds = max(1, cfg.downscale)
     if ds > 1:
@@ -250,31 +338,35 @@ def mser_regions(gray: jnp.ndarray, cfg: MSERConfig):
             .astype(jnp.int32)
             .mean(axis=(1, 3))
         ).astype(jnp.uint8)
-        sub_cfg = MSERConfig(
-            delta=cfg.delta,
+        import dataclasses as _dc
+
+        sub_cfg = _dc.replace(
+            cfg,
             min_area=max(cfg.min_area // (ds * ds), 1),
             max_area=max(cfg.max_area // (ds * ds), 1),
-            max_variation=cfg.max_variation,
-            level_step=cfg.level_step,
-            max_regions=cfg.max_regions,
-            min_diversity=cfg.min_diversity,
-            ccl_iters=cfg.ccl_iters,
-            ccl_jumps=cfg.ccl_jumps,
             downscale=1,
         )
-        seeds_s, level_vals, pol_idx, valid, _ = sweep_candidates(
+        seeds_s, level_vals, pol_idx, valid, _, fused = sweep_candidates(
             g_small, sub_cfg
         )
         im2 = pad_pol(gray)
         seeds = (seeds_s - 1) * ds + ds // 2 + 1  # block centre, native pad
-        boxes = _refine_boxes(im2, seeds, level_vals, pol_idx, cfg.ccl_iters,
-                              seed_slack=ds)
+        boxes, areas = _refine_boxes(im2, seeds, level_vals, pol_idx,
+                                     _REFINE_ROLLS, seed_slack=ds)
+        if fused:
+            # the fused sweep's candidate filter is on *bbox* area; enforce
+            # the reference's exact pixel-area window on the native-res
+            # component extracted here (culls sparse/thin junk candidates)
+            valid = valid & (areas >= cfg.min_area) & (areas <= cfg.max_area)
         boxes = boxes.at[:, 0].add(-1).at[:, 1].add(-1)
         boxes = jnp.where(valid[:, None], boxes, 0)
         return boxes.astype(jnp.int32), valid
 
-    seeds, level_vals, pol_idx, valid, im2 = sweep_candidates(gray, cfg)
-    boxes = _refine_boxes(im2, seeds, level_vals, pol_idx, cfg.ccl_iters)
+    seeds, level_vals, pol_idx, valid, im2, fused = sweep_candidates(gray, cfg)
+    boxes, areas = _refine_boxes(im2, seeds, level_vals, pol_idx,
+                                 _REFINE_ROLLS)
+    if fused:
+        valid = valid & (areas >= cfg.min_area) & (areas <= cfg.max_area)
     # back to unpadded frame coordinates
     boxes = boxes.at[:, 0].add(-1).at[:, 1].add(-1)
     boxes = jnp.where(valid[:, None], boxes, 0)
