@@ -253,6 +253,7 @@ def mser_regions(gray: jnp.ndarray, cfg: MSERConfig):
         p2, nl, h, w = sb4.shape
         s = c.level_step if c.level_step > 0 else c.delta
         bits = max((pool * pool - 1).bit_length(), 1)
+        lbits = max((nl - 1).bit_length(), 1)
         ph, pw = (-h) % pool, (-w) % pool
         x = sb4.astype(jnp.int32)
         if ph or pw:
@@ -264,19 +265,26 @@ def mser_regions(gray: jnp.ndarray, cfg: MSERConfig):
         comb = x * (1 << bits) + local
         h4, w4 = hp // pool, wp // pool
         pooled = comb.reshape(p2, nl, h4, pool, w4, pool).max(axis=(3, 5))
+        # collapse the level axis too (level packed into the low bits), so
+        # the global ranking sorts [2, h4, w4] instead of [2, L, h4, w4] —
+        # top_k is sort-based and was ~30% of MSER time.  At most one
+        # candidate level survives per (polarity, pool block); nested
+        # same-block emissions were largely merged by min_diversity already.
+        lv = jax.lax.broadcasted_iota(jnp.int32, pooled.shape, 1)
+        best = jnp.max(pooled * (1 << lbits) + lv, axis=1)  # [p2, h4, w4]
 
         n = c.max_regions
-        top_vals, top_idx = jax.lax.top_k(pooled.reshape(-1), n)
-        valid = top_vals >= (1 << bits)  # stability byte > 0
+        top_vals, top_idx = jax.lax.top_k(best.reshape(-1), n)
+        t_idx = top_vals & ((1 << lbits) - 1)
+        pooled_vals = top_vals >> lbits
+        valid = pooled_vals >= (1 << bits)  # stability byte > 0
 
-        per_level = h4 * w4
-        pol_idx = top_idx // (nl * per_level)
-        rem = top_idx - pol_idx * nl * per_level
-        t_idx = rem // per_level
-        rem = rem - t_idx * per_level
+        per_pol = h4 * w4
+        pol_idx = top_idx // per_pol
+        rem = top_idx - pol_idx * per_pol
         y4 = rem // w4
         x4 = rem - y4 * w4
-        local = top_vals & ((1 << bits) - 1)
+        local = pooled_vals & ((1 << bits) - 1)
         y = y4 * pool + local // pool
         xx = x4 * pool + local % pool
         level_vals = jnp.maximum(
