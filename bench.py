@@ -3,13 +3,21 @@
 
 Measures the flagship pipeline (preprocess -> MSER -> dedup -> mask
 classify) on real GTSDB frames (1360x800) when the dataset is present, else
-on synthetic frames.  Prints exactly one JSON line:
+on synthetic frames.  Prints exactly one JSON line whose primary value is
+the device-pipeline scope, with the other scopes as extra fields:
 
-    {"metric": ..., "value": fps, "unit": "frames/s", "vs_baseline": x}
+    {"metric": ..., "value": fps, "unit": "frames/s", "vs_baseline": x,
+     "e2e_fps": ..., "e2e_vs_reference": ..., "fps_1080p": ...}
 
-Baseline: the reference single-threaded OpenCV pipeline processes the 150
-GTSDB test frames end-to-end in ~105 s on this container's CPU (timed run,
-MSER_7_200_2000_1) = 1.43 frames/s.  vs_baseline is the speedup over that.
+Scopes (VERDICT r1 item 7 — report both, like-for-like denominators):
+
+* device pipeline (``value``): pre-decoded, pre-batched device dispatch —
+  compare against ``REFERENCE_DETECT_FPS`` (the reference's detect loop on
+  the same frames, no training/serialization; measured by
+  ``/tmp/ref_detect_bench.py``-style run of its unmodified source).
+* end-to-end (``e2e_fps``): full ``run_directory`` over the 150-frame test
+  set including JPEG decode and resultado.txt serialization — compare
+  against ``REFERENCE_FPS`` (the reference's full run, 150 frames/105 s).
 """
 
 from __future__ import annotations
@@ -23,6 +31,10 @@ import time
 import numpy as np
 
 REFERENCE_FPS = 1.43  # measured: reference end-to-end, 150 frames / 105 s
+# Reference detect loop only (MSERTrafficSignDetector per frame, no mask
+# training / image writing / statistics), measured on this container by
+# driving the unmodified reference source over the same 150 frames.
+REFERENCE_DETECT_FPS = 1.715  # 150 frames / 87.5 s, MSER_7_200_2000_1
 DET_DATA = "/root/reference/Deteción de Objetos"
 
 
@@ -63,6 +75,10 @@ def main(argv=None) -> int:
                         help="MSER-stage downscale (2 = tuned fast mode)")
     parser.add_argument("--ccl_iters", type=int, default=12)
     parser.add_argument("--level_step", type=int, default=5)
+    parser.add_argument("--skip_e2e", action="store_true",
+                        help="skip the end-to-end (decode+serialize) scope")
+    parser.add_argument("--skip_1080p", action="store_true",
+                        help="skip the 8-frame 1080p probe")
     args = parser.parse_args(argv)
 
     import jax
@@ -128,12 +144,53 @@ def main(argv=None) -> int:
         if args.size == "1080p"
         else "gtsdb_1360x800_frames_per_sec_per_chip_detect_classify"
     )
-    print(json.dumps({
+    result = {
         "metric": metric,
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / REFERENCE_FPS, 2),
-    }))
+        "vs_reference_detect_only": round(fps / REFERENCE_DETECT_FPS, 2),
+    }
+
+    test_dir = os.path.join(DET_DATA, "test_alumnos_jpg")
+    if not args.skip_e2e and args.size == "gtsdb" and os.path.isdir(test_dir):
+        # end-to-end scope: JPEG decode (decode-ahead thread) -> device
+        # pipeline -> host unpadding -> resultado.txt, whole test set
+        import tempfile
+
+        from opencv_traffic_sign_detector_tpu.models.detector import (
+            DetectionPipeline,
+        )
+        from opencv_traffic_sign_detector_tpu.utils.serialization import (
+            write_results_file,
+        )
+
+        pipe = DetectionPipeline(cfg=cfg, templates=templates)
+        n_files = len(os.listdir(test_dir)) - 1  # minus gt.txt
+        t0 = time.time()
+        dets = pipe.run_directory(test_dir)
+        with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=True) as f:
+            write_results_file(f.name, dets)
+        e2e_dt = time.time() - t0
+        result["e2e_fps"] = round(n_files / e2e_dt, 3)
+        result["e2e_vs_reference"] = round(n_files / e2e_dt / REFERENCE_FPS, 2)
+
+    if not args.skip_1080p and args.size == "gtsdb":
+        hd = _load_frames(2 * args.batch, "1080p")
+        hd_batches = [
+            jnp.asarray(hd[i * args.batch : (i + 1) * args.batch])
+            for i in range(2)
+        ]
+        out = detect_batch(hd_batches[0], red, blue, cfg)  # compile
+        np.asarray(out[3]).sum()
+        t0 = time.time()
+        for _ in range(2):
+            for b in hd_batches:
+                out = detect_batch(b, red, blue, cfg)
+                np.asarray(out[3]).sum()
+        result["fps_1080p"] = round(4 * args.batch / (time.time() - t0), 3)
+
+    print(json.dumps(result))
     return 0
 
 

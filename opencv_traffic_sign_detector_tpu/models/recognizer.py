@@ -256,7 +256,8 @@ class SignClassifier:
             f.write(self.config.to_string())
         if self.heads:
             for i, h in enumerate(self.heads):
-                h.save(os.path.join(path, f"head_{i + 1}.npz"))
+                if h is not None:
+                    h.save(os.path.join(path, f"head_{i + 1}.npz"))
         if self.reducer:
             self.reducer.save(os.path.join(path, "reducer.npz"))
         if self.knn:
@@ -268,10 +269,10 @@ class SignClassifier:
             config = ClassifierConfig.from_string(f.read().strip())
         heads = reducer = knn = None
         if config.classifier == "LDABAYES":
-            heads = [
-                LDAParams.load(os.path.join(path, f"head_{i + 1}.npz"))
-                for i in range(6)
-            ]
+            heads = []
+            for i in range(6):
+                hp = os.path.join(path, f"head_{i + 1}.npz")
+                heads.append(LDAParams.load(hp) if os.path.exists(hp) else None)
         else:
             reducer = LDAParams.load(os.path.join(path, "reducer.npz"))
             knn = KNNParams.load(os.path.join(path, "knn.npz"))
@@ -288,6 +289,12 @@ def fit_classifier(
         negatives = features_by_class[0]
         for t in range(1, 7):
             pos = features_by_class[t]
+            if len(pos) == 0:
+                # no positives for this super-type (small --limit runs):
+                # the head can never assert its sign — model it as a None
+                # head that predicts background with probability 1
+                heads.append(None)
+                continue
             X = np.concatenate([negatives, pos])
             y = np.concatenate([np.zeros(len(negatives)), np.full(len(pos), t)])
             heads.append(lda_fit(X, y))
@@ -330,8 +337,14 @@ def predict_classifier(
     if len(X) == 0:
         return np.zeros((0,), np.int32)
     if clf.config.classifier == "LDABAYES":
+        always_bg = jnp.tile(
+            jnp.asarray([1.0, 0.0], jnp.float32), (len(X), 1)
+        )
         probs = jnp.stack(
-            [lda_predict_proba(h, X) for h in clf.heads]
+            [
+                lda_predict_proba(h, X) if h is not None else always_bg
+                for h in clf.heads
+            ]
         )  # [6, N, 2]
         return np.asarray(arbitrate_lda_heads(probs, no_sign_tol))
     reduced = lda_transform(clf.reducer, X)

@@ -40,9 +40,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import MSERConfig
 
-# VMEM budget: 5 i32 channels + 2 ring pairs (f32) + input/output blocks.
-# ~36 bytes/pixel of resident state; keep a safety margin under ~16 MB.
-_MAX_PIXELS = 360_000
+# VMEM budget: 5 i32 channels + bf16 rings + input/output blocks comes to
+# ~32 bytes/pixel of resident state; the kernel requests a 100 MB scoped
+# window (v5e VMEM is 128 MB), so 560k pixels (1080p at the ds=2 sweep:
+# 546x962 after padding) still fits with margin for compiler temporaries.
+_MAX_PIXELS = 560_000
 
 
 def fused_sweep_ok(h: int, w: int, cfg: MSERConfig) -> bool:

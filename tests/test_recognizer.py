@@ -173,3 +173,25 @@ def test_compute_features_shapes():
     assert compute_features(crops, "HOG").shape == (6, 324)
     assert compute_features(crops, "GRAY").shape == (6, 1024)
     assert compute_features(np.zeros((0, 32, 32), np.uint8), "HOG").shape == (0, 324)
+
+
+def test_ldabayes_empty_class_heads(tmp_path):
+    """Classes with zero positives (small --limit runs) must not crash the
+    fit: their heads are None and always predict background."""
+    rng = np.random.default_rng(3)
+    feats = _synthetic_features(per=40)
+    feats[3] = np.zeros((0, feats[0].shape[1]), np.float32)
+    feats[4] = np.zeros((0, feats[0].shape[1]), np.float32)
+    clf = fit_classifier(feats, ClassifierConfig())
+    assert clf.heads[2] is None and clf.heads[3] is None
+
+    X = np.concatenate([feats[0][:4], feats[1][:4]])
+    pred = predict_classifier(clf, X)
+    assert pred.shape == (8,)
+    assert not np.any((pred == 3) | (pred == 4))
+
+    path = str(tmp_path / "clf")
+    clf.save(path)
+    clf2 = SignClassifier.load(path)
+    assert clf2.heads[2] is None and clf2.heads[3] is None
+    np.testing.assert_array_equal(predict_classifier(clf2, X), pred)
