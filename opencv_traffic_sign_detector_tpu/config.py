@@ -48,6 +48,12 @@ class MSERConfig:
     # (bbox area >= pixel area; the exact pixel-area window is re-applied
     # post-refinement).  2.0 measured best on the GTSDB set (PARITY.md).
     bbox_area_cap_scale: float = 2.0
+    # Extent-only fused sweep: propagate just keys + vertical extents and
+    # use squared height as the area proxy (3 roll channels instead of 5,
+    # ~35% faster sweep).  Sound for this pipeline because the downstream
+    # aspect filter only keeps near-square boxes anyway (see
+    # ops/mser_pallas.py).
+    sweep_extent_only: bool = False
     # Candidate top-k pooling factor: stability maps are max-pooled
     # (pool x pool) with in-block argmax before the top-k (16x less top-k
     # work at pool=4).  1 = exact (rank every pixel).

@@ -83,6 +83,33 @@ def detect_batch(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _detect_batch_packed(
+    frames: jnp.ndarray,
+    red_templates: jnp.ndarray,
+    blue_templates: jnp.ndarray,
+    cfg: PipelineConfig,
+):
+    """detect_batch with all four outputs packed into one [B, D, 7] f32.
+
+    One device->host materialization instead of four: each D2H transfer
+    through the axon relay pays a fixed round-trip latency that dwarfs the
+    payload at these sizes.
+    """
+    boxes, types, scores, valid = detect_batch(
+        frames, red_templates, blue_templates, cfg
+    )
+    return jnp.concatenate(
+        [
+            boxes.astype(jnp.float32),
+            types[..., None].astype(jnp.float32),
+            scores[..., None].astype(jnp.float32),
+            valid[..., None].astype(jnp.float32),
+        ],
+        axis=-1,
+    )
+
+
 @dataclasses.dataclass
 class DetectionPipeline:
     """Host-facing detector: owns the trained templates and the jitted fn.
@@ -114,31 +141,40 @@ class DetectionPipeline:
                 lambda f, r, b: detect_batch(f, r, b, cfg),
             )
 
-    def detect_frames(
-        self, frames: np.ndarray, names: list[str]
-    ) -> list[GroundTruthBox]:
-        """Run a [B, H, W, 3] uint8 batch; unpad into detection records."""
+    def dispatch(self, frames: np.ndarray):
+        """Enqueue one [B, H, W, 3] batch on the device; returns device arrays.
+
+        Dispatch is asynchronous under JAX, so callers can overlap the next
+        batch's decode/transfer with this batch's compute and collect the
+        results later (see :meth:`run_directory`).
+        """
         red = jnp.asarray(self.templates.red)
         blue = jnp.asarray(self.templates.blue)
         if self._sharded_fn is not None:
             from ..parallel.mesh import shard_batch
 
-            boxes, types, scores, valid = self._sharded_fn(
+            return self._sharded_fn(
                 shard_batch(self.mesh, np.asarray(frames)), red, blue
             )
+        return _detect_batch_packed(jnp.asarray(frames), red, blue, self.cfg)
+
+    def collect(
+        self, out, names: list[str], batch: int
+    ) -> list[GroundTruthBox]:
+        """Materialize a dispatched batch and unpad into detection records."""
+        if isinstance(out, tuple):  # sharded path: four separate arrays
+            boxes, types, scores, valid = (np.asarray(o) for o in out)
         else:
-            boxes, types, scores, valid = detect_batch(
-                jnp.asarray(frames), red, blue, self.cfg
-            )
-        boxes = np.asarray(boxes)
-        types = np.asarray(types)
-        scores = np.asarray(scores)
-        valid = np.asarray(valid)
-        out: list[GroundTruthBox] = []
-        for b in range(frames.shape[0]):
+            packed = np.asarray(out)  # [B, D, 7] — one D2H transfer
+            boxes = packed[..., :4].astype(np.int64)
+            types = packed[..., 4].astype(np.int64)
+            scores = packed[..., 5]
+            valid = packed[..., 6] > 0.5
+        dets: list[GroundTruthBox] = []
+        for b in range(batch):
             for i in np.nonzero(valid[b])[0]:
                 x1, y1, x2, y2 = (int(v) for v in boxes[b, i])
-                out.append(
+                dets.append(
                     GroundTruthBox(
                         filename=names[b],
                         x1=x1,
@@ -149,22 +185,41 @@ class DetectionPipeline:
                         score=float(scores[b, i]),
                     )
                 )
-        return out
+        return dets
+
+    def detect_frames(
+        self, frames: np.ndarray, names: list[str]
+    ) -> list[GroundTruthBox]:
+        """Run a [B, H, W, 3] uint8 batch; unpad into detection records."""
+        return self.collect(self.dispatch(frames), names, frames.shape[0])
 
     def run_directory(
         self, directory: str, progress: bool = False
     ) -> list[GroundTruthBox]:
-        """Detect over every frame in a dataset directory."""
+        """Detect over every frame in a dataset directory.
+
+        Two overlaps keep the device busy: the next batch is decoded on a
+        background thread (`batched_frames`), and one dispatched batch is
+        kept in flight so its host-side materialization happens while the
+        device already crunches the next one.
+        """
         files = list_frame_files(directory)
         bsz = self.cfg.batch_size
         detections: list[GroundTruthBox] = []
         done = 0
-        # decode-ahead: the next batch is assembled on a background thread
-        # while the device processes the current one
+        pending: tuple | None = None
         for frames, names in batched_frames(directory, files, bsz):
-            dets = self.detect_frames(frames, names)
+            out = self.dispatch(frames)
+            if pending is not None:
+                dets = self.collect(*pending)
+                detections.extend(d for d in dets if d.filename != "__pad__")
+                done = min(done + bsz, len(files))
+                if progress:
+                    print(f"  processed {done}/{len(files)} frames")
+            pending = (out, names, frames.shape[0])
+        if pending is not None:
+            dets = self.collect(*pending)
             detections.extend(d for d in dets if d.filename != "__pad__")
-            done = min(done + bsz, len(files))
             if progress:
-                print(f"  processed {done}/{len(files)} frames")
+                print(f"  processed {len(files)}/{len(files)} frames")
         return detections

@@ -67,7 +67,17 @@ def _sweep_kernel(
     min_area: float, max_area: float, max_variation: float,
     min_diversity: float,
 ):
-    """One (polarity, level) grid step of the fused sweep."""
+    """One (polarity, level) grid step of the fused sweep.
+
+    With ``xmin_ref is None`` (the extent-only variant) only keys + the
+    vertical extents propagate and the area proxy is the squared height
+    ``(ymax - ymin + 1)^2`` instead of the bbox area: traffic-sign
+    candidates are near-square (the pipeline's aspect filter later keeps
+    0.8 < w/h < 1.2 anyway, `Deteción de Objetos/source.py:155-174`), so
+    squared height tracks bbox area on everything that can survive while
+    cutting the per-pass roll work from 5 channels to 3.
+    """
+    extent_only = xmin_ref is None
     h = im2_ref.shape[1]
     w = im2_ref.shape[2]
     hw = h * w
@@ -80,9 +90,10 @@ def _sweep_kernel(
     def _init():
         keys_ref[:] = jnp.full((h, w), big, jnp.int32)
         ymin_ref[:] = jnp.full((h, w), bigc, jnp.int32)
-        xmin_ref[:] = jnp.full((h, w), bigc, jnp.int32)
         ymax_ref[:] = jnp.full((h, w), -1, jnp.int32)
-        xmax_ref[:] = jnp.full((h, w), -1, jnp.int32)
+        if not extent_only:
+            xmin_ref[:] = jnp.full((h, w), bigc, jnp.int32)
+            xmax_ref[:] = jnp.full((h, w), -1, jnp.int32)
         aring_ref[:] = jnp.zeros(aring_ref.shape, jnp.bfloat16)
         vring_ref[:] = jnp.full(vring_ref.shape, jnp.inf, jnp.bfloat16)
         lastemit_ref[:] = jnp.zeros(lastemit_ref.shape, jnp.bfloat16)
@@ -128,9 +139,14 @@ def _sweep_kernel(
     # on the GTSDB set, see PARITY.md.)
     keys_ref[:] = jnp.where(mask, jnp.minimum(keys_ref[:], keys0), big)
     ymin_ref[:] = jnp.where(mask, jnp.minimum(ymin_ref[:], rows), bigc)
-    xmin_ref[:] = jnp.where(mask, jnp.minimum(xmin_ref[:], cols), bigc)
     ymax_ref[:] = jnp.where(mask, jnp.maximum(ymax_ref[:], rows), -1)
-    xmax_ref[:] = jnp.where(mask, jnp.maximum(xmax_ref[:], cols), -1)
+    if not extent_only:
+        xmin_ref[:] = jnp.where(mask, jnp.minimum(xmin_ref[:], cols), bigc)
+        xmax_ref[:] = jnp.where(mask, jnp.maximum(xmax_ref[:], cols), -1)
+
+    channels = [(ymin_ref, True, bigc), (ymax_ref, False, jnp.int32(-1))]
+    if not extent_only:
+        channels += [(xmin_ref, True, bigc), (xmax_ref, False, jnp.int32(-1))]
 
     def sweep_pass(check: bool):
         k = keys_ref[:]
@@ -138,12 +154,7 @@ def _sweep_kernel(
         changed = jnp.any(knew != k) if check else jnp.bool_(False)
         keys_ref[:] = knew
         live = mask & (knew >= 0)
-        for ref, is_min, fill in (
-            (ymin_ref, True, bigc),
-            (xmin_ref, True, bigc),
-            (ymax_ref, False, jnp.int32(-1)),
-            (xmax_ref, False, jnp.int32(-1)),
-        ):
+        for ref, is_min, fill in channels:
             x = ref[:]
             nb = nb_min(x) if is_min else nb_max(x)
             upd = jnp.minimum(x, nb) if is_min else jnp.maximum(x, nb)
@@ -165,17 +176,19 @@ def _sweep_kernel(
     )
     keys = keys_ref[:]
     ymin = ymin_ref[:]
-    xmin = xmin_ref[:]
     ymax = ymax_ref[:]
-    xmax = xmax_ref[:]
 
     # anchor == own key is the component minimum; bbox area at anchors
     # (f32 before the product: dead/sentinel extents overflow int32)
     anchor = mask & (keys == keys0)
-    bb = (
-        (ymax - ymin + 1).astype(jnp.float32)
-        * (xmax - xmin + 1).astype(jnp.float32)
-    )
+    if extent_only:
+        ext = (ymax - ymin + 1).astype(jnp.float32)
+        bb = ext * ext
+    else:
+        bb = (
+            (ymax - ymin + 1).astype(jnp.float32)
+            * (xmax_ref[:] - xmin_ref[:] + 1).astype(jnp.float32)
+        )
     bb = jnp.minimum(bb, 65535.0)
     a_cur = jnp.where(anchor, bb, 0.0)
     # mark components past the area cap dead: their anchor seeds key = -1,
@@ -245,7 +258,7 @@ def fused_level_sweep(
     """
     p, h, w = im2.shape
     s = cfg.level_step if cfg.level_step > 0 else cfg.delta
-    kern = functools.partial(
+    base = functools.partial(
         _sweep_kernel,
         step=s,
         d=d_idx,
@@ -255,6 +268,18 @@ def fused_level_sweep(
         max_variation=float(cfg.max_variation),
         min_diversity=float(cfg.min_diversity),
     )
+    if cfg.sweep_extent_only:
+        def kern(im2_ref, sb_ref, keys, ymin, ymax, aring, vring, lastemit):
+            base(im2_ref, sb_ref, keys, ymin, None, ymax, None,
+                 aring, vring, lastemit)
+
+        extent_scratch = []
+    else:
+        kern = base
+        extent_scratch = [
+            pltpu.VMEM((h, w), jnp.int32),  # xmin
+            pltpu.VMEM((h, w), jnp.int32),  # xmax
+        ]
     return pl.pallas_call(
         kern,
         grid=(p, num_levels),
@@ -268,9 +293,9 @@ def fused_level_sweep(
         scratch_shapes=[
             pltpu.VMEM((h, w), jnp.int32),      # keys
             pltpu.VMEM((h, w), jnp.int32),      # ymin
-            pltpu.VMEM((h, w), jnp.int32),      # xmin
+        ] + extent_scratch[:1] + [
             pltpu.VMEM((h, w), jnp.int32),      # ymax
-            pltpu.VMEM((h, w), jnp.int32),      # xmax
+        ] + extent_scratch[1:] + [
             pltpu.VMEM((d_idx + 1, h, w), jnp.bfloat16),  # bbox-area ring
             pltpu.VMEM((2, h, w), jnp.bfloat16),          # variation ring
             pltpu.VMEM((h, w), jnp.bfloat16),   # last-emitted area (min_div)

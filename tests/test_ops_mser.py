@@ -168,3 +168,34 @@ class TestFusedSweep:
 
         # (pooled decode is exercised on TPU; here assert candidate parity)
         assert sb_f[0, :, 41, 51].max() == sb_x4[0, :, 41, 51].max()
+
+
+def test_extent_only_sweep_matches_on_squares():
+    """Extent-only (3-channel) fused sweep: squared-height area proxy equals
+    bbox area on square components, so candidate maps must match the full
+    5-channel fused sweep there."""
+    import jax.numpy as jnp
+
+    from opencv_traffic_sign_detector_tpu.ops.mser_pallas import (
+        fused_level_sweep,
+    )
+
+    g = np.full((126, 158), 200, np.uint8)
+    g[40:60, 50:70] = 30
+    g[80:100, 100:120] = 90
+    base = dict(min_area=60, max_area=1200, max_variation=1.0,
+                level_step=5, ccl_iters=16, ccl_jumps=0, max_regions=32)
+    cfg5 = MSERConfig(**base)
+    cfg3 = MSERConfig(sweep_extent_only=True, **base)
+    s = 5
+    d_idx = 1
+    levels = list(range(0, 256 + (d_idx + 1) * s + 1, s))
+    gq = jnp.asarray(g)
+    both = jnp.stack([gq.astype(jnp.int32), 255 - gq.astype(jnp.int32)])
+    im2 = jnp.pad(both, ((0, 0), (1, 1), (1, 1)), constant_values=255)
+    sb5 = np.asarray(fused_level_sweep(im2, cfg5, d_idx, len(levels), interpret=True))
+    sb3 = np.asarray(fused_level_sweep(im2, cfg3, d_idx, len(levels), interpret=True))
+    assert sb3[0, :, 41, 51].max() > 0
+    assert sb3[0, :, 81, 101].max() > 0
+    np.testing.assert_array_equal(sb3[0, :, 41, 51], sb5[0, :, 41, 51])
+    np.testing.assert_array_equal(sb3[0, :, 81, 101], sb5[0, :, 81, 101])
