@@ -48,6 +48,11 @@ class MSERConfig:
     # (bbox area >= pixel area; the exact pixel-area window is re-applied
     # post-refinement).  2.0 measured best on the GTSDB set (PARITY.md).
     bbox_area_cap_scale: float = 2.0
+    # Scan-based propagation for the fused sweep: > 0 replaces the radius-1
+    # roll passes with N (horizontal segmented run-reduce + one vertical
+    # step) passes — convergence bounded by a component's vertical zigzag
+    # depth instead of its diameter (see ops/mser_pallas.py).  0 = rolls.
+    scan_passes: int = 0
     # Extent-only fused sweep: propagate just keys + vertical extents and
     # use squared height as the area proxy (3 roll channels instead of 5,
     # ~35% faster sweep).  Sound for this pipeline because the downstream

@@ -65,7 +65,7 @@ def _sweep_kernel(
     aring_ref, vring_ref, lastemit_ref,
     *, step: int, d: int, num_rolls: int,
     min_area: float, max_area: float, max_variation: float,
-    min_diversity: float,
+    min_diversity: float, scan_passes: int = 0,
 ):
     """One (polarity, level) grid step of the fused sweep.
 
@@ -169,11 +169,60 @@ def _sweep_kernel(
         sweep_pass(False)
         return it + 2, sweep_pass(True)
 
-    jax.lax.while_loop(
-        lambda c: (c[0] < num_rolls) & c[1],
-        prop_body,
-        (jnp.int32(0), jnp.bool_(True)),
-    )
+    # --- scan propagation (scan_passes > 0) ---------------------------------
+    # Radius-1 rolls need O(component diameter) passes.  The scan variant
+    # resolves each horizontal mask-run and each vertical mask-run
+    # *completely* per pass (segmented run-reduce via Hillis-Steele
+    # doubling along the axis, both directions, flags shared across
+    # channels), so convergence is bounded by the component's zigzag
+    # complexity (1-2 passes for convex sign-like blobs), not its diameter.
+    def axis_resolve(axis: int):
+        """Segmented full-run reduce along one axis for keys + extents."""
+        size = w if axis == 1 else h
+        m_prev = pltpu.roll(mask, 1, axis=axis)
+        m_next = pltpu.roll(mask, size - 1, axis=axis)
+        seg_fwd = mask & ~m_prev  # run starts (toward index 0)
+        seg_bwd = mask & ~m_next  # run ends
+        live = mask & (keys_ref[:] >= 0)
+        vals = [jnp.where(mask, keys_ref[:], big)]
+        ops = [jnp.minimum]
+        for ref, is_min, fill in channels:
+            vals.append(jnp.where(live, ref[:], fill))
+            ops.append(jnp.minimum if is_min else jnp.maximum)
+
+        def dir_scan(vs, seg, fwd: bool):
+            f = seg
+            k = 1
+            while k < size:
+                amt = k if fwd else size - k
+                fsh = pltpu.roll(f, amt, axis=axis)
+                vs = [
+                    jnp.where(f, v, op(v, pltpu.roll(v, amt, axis=axis)))
+                    for v, op in zip(vs, ops)
+                ]
+                f = f | fsh
+                k *= 2
+            return vs
+
+        vf = dir_scan(vals, seg_fwd, True)
+        vb = dir_scan(vals, seg_bwd, False)
+        out = [op(a, b) for a, b, op in zip(vf, vb, ops)]
+        keys_ref[:] = jnp.where(mask, out[0], big)
+        live2 = mask & (out[0] >= 0)
+        for (ref, is_min, fill), v in zip(channels, out[1:]):
+            ref[:] = jnp.where(live2, v, fill)
+
+    if scan_passes > 0:
+        for _ in range(scan_passes):
+            axis_resolve(1)
+            axis_resolve(0)
+        axis_resolve(1)
+    else:
+        jax.lax.while_loop(
+            lambda c: (c[0] < num_rolls) & c[1],
+            prop_body,
+            (jnp.int32(0), jnp.bool_(True)),
+        )
     keys = keys_ref[:]
     ymin = ymin_ref[:]
     ymax = ymax_ref[:]
@@ -267,6 +316,7 @@ def fused_level_sweep(
         max_area=float(cfg.max_area) * cfg.bbox_area_cap_scale,
         max_variation=float(cfg.max_variation),
         min_diversity=float(cfg.min_diversity),
+        scan_passes=cfg.scan_passes,
     )
     if cfg.sweep_extent_only:
         def kern(im2_ref, sb_ref, keys, ymin, ymax, aring, vring, lastemit):

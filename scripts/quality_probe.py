@@ -28,6 +28,7 @@ def main(argv=None) -> int:
     ap.add_argument("--cap_scale", type=float, default=4.0)
     ap.add_argument("--fused", type=int, default=1)
     ap.add_argument("--extent_only", type=int, default=0)
+    ap.add_argument("--scan_passes", type=int, default=0)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--limit", type=int, default=0, help="frame limit")
     ap.add_argument("--tag", default="")
@@ -54,6 +55,7 @@ def main(argv=None) -> int:
         fused_sweep=bool(args.fused), bbox_area_cap_scale=args.cap_scale,
         topk_pool=args.topk_pool,
         sweep_extent_only=bool(args.extent_only),
+        scan_passes=args.scan_passes,
     )
     cfg = PipelineConfig(mser=mser, batch_size=args.batch)
 
@@ -92,7 +94,7 @@ def main(argv=None) -> int:
     print(
         f"PROBE tag={args.tag} ds={args.downscale} step={args.level_step} "
         f"iters={args.ccl_iters} pool={args.topk_pool} cap={args.cap_scale} "
-        f"regions={args.max_regions} fused={args.fused} ext={args.extent_only} | "
+        f"regions={args.max_regions} fused={args.fused} ext={args.extent_only} scan={args.scan_passes} | "
         f"dets={len(dets)} correct={tot.correct} P={p:.3f} R={r:.3f} "
         f"F1={f1:.3f} AP={ap_res['ap']:.4f} | {n_frames / dt:.2f} fps"
     )

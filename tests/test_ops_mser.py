@@ -199,3 +199,41 @@ def test_extent_only_sweep_matches_on_squares():
     assert sb3[0, :, 81, 101].max() > 0
     np.testing.assert_array_equal(sb3[0, :, 41, 51], sb5[0, :, 41, 51])
     np.testing.assert_array_equal(sb3[0, :, 81, 101], sb5[0, :, 81, 101])
+
+
+def test_scan_propagation_matches_roll_candidates():
+    """Scan-based propagation (segmented full-run resolves per axis) must
+    find the same candidate set as the converged roll propagation; full
+    convergence may legally emit a slow-to-flood shape a step earlier."""
+    import jax.numpy as jnp
+
+    from opencv_traffic_sign_detector_tpu.ops.mser_pallas import (
+        fused_level_sweep,
+    )
+
+    g = np.full((126, 158), 200, np.uint8)
+    g[40:60, 50:70] = 30
+    g[80:100, 100:140] = 90
+    g[20:30, 10:15] = 60
+    g[70:110, 20:30] = 45
+    g[100:110, 20:60] = 45
+    base = dict(min_area=20, max_area=3000, max_variation=1.0, level_step=5,
+                ccl_iters=24, ccl_jumps=0, max_regions=64)
+    s, d_idx = 5, 1
+    levels = list(range(0, 256 + (d_idx + 1) * s + 1, s))
+    gq = jnp.asarray(g)
+    both = jnp.stack([gq.astype(jnp.int32), 255 - gq.astype(jnp.int32)])
+    im2 = jnp.pad(both, ((0, 0), (1, 1), (1, 1)), constant_values=255)
+    sb_roll = np.asarray(
+        fused_level_sweep(im2, MSERConfig(**base), d_idx, len(levels),
+                          interpret=True)
+    )
+    sb_scan = np.asarray(
+        fused_level_sweep(im2, MSERConfig(scan_passes=2, **base), d_idx,
+                          len(levels), interpret=True)
+    )
+    anchors_roll = {(p, y, x) for p, _, y, x in zip(*np.nonzero(sb_roll))}
+    anchors_scan = {(p, y, x) for p, _, y, x in zip(*np.nonzero(sb_scan))}
+    assert anchors_scan == anchors_roll
+    # expected anchors: one per synthetic shape, dark polarity
+    assert anchors_roll == {(0, 41, 51), (0, 81, 101), (0, 21, 11), (0, 71, 21)}
