@@ -67,10 +67,13 @@ def main(argv=None) -> int:
     parser.add_argument("--no-images", action="store_true",
                         help="skip writing annotated frames")
     parser.add_argument("--per-file-stats", action="store_true")
-    parser.add_argument("--downscale", type=int, default=1,
-                        help="MSER-stage downscale (2 = fast mode)")
-    parser.add_argument("--max_regions", type=int, default=None,
-                        help="proposal capacity per frame (default 384)")
+    parser.add_argument("--downscale", type=int, default=2,
+                        help="MSER-stage downscale (2 = tuned fast mode, the "
+                             "shipped quality/speed winner; 1 = native-res "
+                             "sweep)")
+    parser.add_argument("--max_regions", type=int, default=256,
+                        help="proposal capacity per frame (256 = tuned "
+                             "default, beats larger caps on F1/AP)")
     parser.add_argument("--n_devices", type=int, default=0,
                         help="shard each batch over this many devices "
                              "(0 = single device)")

@@ -249,11 +249,21 @@ class SignClassifier:
     heads: list[LDAParams] | None = None  # LDABAYES: one per super-type
     reducer: LDAParams | None = None  # KNN path
     knn: KNNParams | None = None
+    # Proposal distribution the training data was mined with (detector
+    # string + capacity/downscale).  Inference should keep its proposal
+    # config matched to this: a tighter tuned detector starves the
+    # classifier of candidates (measured AP 0.141 -> 0.048 on the test
+    # set).  Informational; stored with the artifact so the coupling is
+    # visible outside the training script.
+    proposal_spec: str | None = None
 
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "config.txt"), "w") as f:
             f.write(self.config.to_string())
+        if self.proposal_spec:
+            with open(os.path.join(path, "proposal.txt"), "w") as f:
+                f.write(self.proposal_spec)
         if self.heads:
             for i, h in enumerate(self.heads):
                 if h is not None:
@@ -276,7 +286,13 @@ class SignClassifier:
         else:
             reducer = LDAParams.load(os.path.join(path, "reducer.npz"))
             knn = KNNParams.load(os.path.join(path, "knn.npz"))
-        return cls(config=config, heads=heads, reducer=reducer, knn=knn)
+        spec_path = os.path.join(path, "proposal.txt")
+        proposal_spec = None
+        if os.path.exists(spec_path):
+            with open(spec_path) as f:
+                proposal_spec = f.read().strip()
+        return cls(config=config, heads=heads, reducer=reducer, knn=knn,
+                   proposal_spec=proposal_spec)
 
 
 def fit_classifier(
@@ -405,6 +421,10 @@ def run_validation(
     perm = rng.permutation(len(yv))
     Xv, yv = Xv[perm], yv[perm]
 
+    clf.proposal_spec = (
+        f"{mser_cfg.to_string()};max_regions={mser_cfg.max_regions};"
+        f"downscale={mser_cfg.downscale}"
+    )
     y_pred = predict_classifier(clf, Xv, no_sign_tol)
     labels = list(range(7))
     cm = confusion_matrix(yv, y_pred, labels)

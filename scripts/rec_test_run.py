@@ -46,6 +46,9 @@ def main():
 
     clf = SignClassifier.load(args.model)
     print(f"loaded {clf.config.to_string()} from {args.model}")
+    if clf.proposal_spec:
+        print(f"  trained on proposal distribution: {clf.proposal_spec} "
+              "(keep inference proposals matched — see note below)")
     # NB: keep the proposal distribution matched to training (max_regions
     # 512, level_step = delta): a tighter tuned detector config starves the
     # classifier of candidates (measured: AP drops 0.141 -> 0.048).
