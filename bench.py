@@ -75,6 +75,8 @@ def main(argv=None) -> int:
                         help="MSER-stage downscale (2 = tuned fast mode)")
     parser.add_argument("--ccl_iters", type=int, default=12)
     parser.add_argument("--level_step", type=int, default=5)
+    parser.add_argument("--scan_passes", type=int, default=0)
+    parser.add_argument("--extent_only", type=int, default=0)
     parser.add_argument("--skip_e2e", action="store_true",
                         help="skip the end-to-end (decode+serialize) scope")
     parser.add_argument("--skip_1080p", action="store_true",
@@ -112,7 +114,9 @@ def main(argv=None) -> int:
     cfg = PipelineConfig(
         mser=MSERConfig(max_variation=1.0, max_regions=args.max_regions,
                         downscale=args.downscale, ccl_iters=args.ccl_iters,
-                        ccl_jumps=0, level_step=args.level_step),
+                        ccl_jumps=0, level_step=args.level_step,
+                        scan_passes=args.scan_passes,
+                        sweep_extent_only=bool(args.extent_only)),
         batch_size=args.batch,
     )
     red = jnp.asarray(templates.red)

@@ -154,7 +154,8 @@ def _level_sweep(im2: jnp.ndarray, levels, cfg: MSERConfig, d_idx: int):
 
 
 def _refine_boxes(im2: jnp.ndarray, seeds_yx: jnp.ndarray, levels: jnp.ndarray,
-                  polarity: jnp.ndarray, num_rolls: int, seed_slack: int = 0):
+                  polarity: jnp.ndarray, num_rolls: int, seed_slack: int = 0,
+                  scan_passes: int = 0):
     """Per candidate: local flood fill in a window centred on its anchor at
     its level; bbox + pixel area of the seed's component.
 
@@ -208,9 +209,15 @@ def _refine_boxes(im2: jnp.ndarray, seeds_yx: jnp.ndarray, levels: jnp.ndarray,
         jnp.int32(0),
         jnp.int32(big),
     )
-    # flood the seed's component: radius = 2*num_rolls (two roll rounds)
-    reach = propagate_min_keys(seed_map, mask, big, num_rolls=num_rolls,
-                               num_jumps=0, edges_safe=True)
+    # flood the seed's component: radius = 2*num_rolls (two roll rounds),
+    # or full-component segmented-scan resolves when scan_passes > 0
+    from .pallas_prop import pallas_available_for, propagate_scan_pallas
+
+    if scan_passes > 0 and pallas_available_for(mask.shape):
+        reach = propagate_scan_pallas(seed_map, mask, big, scan_passes)
+    else:
+        reach = propagate_min_keys(seed_map, mask, big, num_rolls=num_rolls,
+                                   num_jumps=0, edges_safe=True)
     sel = reach == 0
 
     ymin = jnp.min(jnp.where(sel, rows, big), axis=(1, 2))
@@ -360,7 +367,8 @@ def mser_regions(gray: jnp.ndarray, cfg: MSERConfig):
         im2 = pad_pol(gray)
         seeds = (seeds_s - 1) * ds + ds // 2 + 1  # block centre, native pad
         boxes, areas = _refine_boxes(im2, seeds, level_vals, pol_idx,
-                                     _REFINE_ROLLS, seed_slack=ds)
+                                     _REFINE_ROLLS, seed_slack=ds,
+                                     scan_passes=cfg.scan_passes)
         if fused:
             # the fused sweep's candidate filter is on *bbox* area; enforce
             # the reference's exact pixel-area window on the native-res
@@ -372,7 +380,7 @@ def mser_regions(gray: jnp.ndarray, cfg: MSERConfig):
 
     seeds, level_vals, pol_idx, valid, im2, fused = sweep_candidates(gray, cfg)
     boxes, areas = _refine_boxes(im2, seeds, level_vals, pol_idx,
-                                 _REFINE_ROLLS)
+                                 _REFINE_ROLLS, scan_passes=cfg.scan_passes)
     if fused:
         valid = valid & (areas >= cfg.min_area) & (areas <= cfg.max_area)
     # back to unpadded frame coordinates

@@ -75,6 +75,73 @@ def propagate_rolls_pallas(
     )(keys, mask.astype(jnp.int8))
 
 
+def _scan_kernel(keys_ref, mask_ref, out_ref, *, passes: int, big: int):
+    """Full H/V segmented run-resolves (Hillis-Steele doubling) per pass.
+
+    Converges in O(zigzag complexity) passes instead of O(diameter) rolls —
+    the same scan primitive as the fused sweep's scan mode, here for the
+    bbox-refinement flood over candidate windows.
+    """
+    m = mask_ref[:] != 0
+    bigv = jnp.int32(big)
+    k = jnp.where(m, keys_ref[:], bigv)
+    h = keys_ref.shape[1]
+    w = keys_ref.shape[2]
+
+    def axis_resolve(v, axis):
+        size = h if axis == 1 else w
+        m_prev = pltpu.roll(m, 1, axis=axis)
+        m_next = pltpu.roll(m, size - 1, axis=axis)
+        seg_fwd = m & ~m_prev
+        seg_bwd = m & ~m_next
+
+        def dir_scan(x, seg, fwd):
+            f = seg
+            step = 1
+            while step < size:
+                amt = step if fwd else size - step
+                fsh = pltpu.roll(f, amt, axis=axis)
+                x = jnp.where(
+                    f, x, jnp.minimum(x, pltpu.roll(x, amt, axis=axis))
+                )
+                f = f | fsh
+                step *= 2
+            return x
+
+        out = jnp.minimum(dir_scan(v, seg_fwd, True),
+                          dir_scan(v, seg_bwd, False))
+        return jnp.where(m, out, bigv)
+
+    for _ in range(passes):
+        k = axis_resolve(k, 2)
+        k = axis_resolve(k, 1)
+    k = axis_resolve(k, 2)
+    out_ref[:] = k
+
+
+@functools.partial(jax.jit, static_argnames=("num_passes", "big", "interpret"))
+def propagate_scan_pallas(
+    keys: jnp.ndarray, mask: jnp.ndarray, big: int, num_passes: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """[P, H, W] int32 keys + bool mask -> component-min keys via scans.
+
+    Caller guarantees border rows/cols of ``mask`` are False.
+    """
+    kern = functools.partial(_scan_kernel, passes=num_passes, big=big)
+    p, h, w = keys.shape
+    block = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(p,),
+        out_shape=jax.ShapeDtypeStruct(keys.shape, keys.dtype),
+        in_specs=[block, block],
+        out_specs=block,
+        interpret=interpret,
+    )(keys, mask.astype(jnp.int8))
+
+
 def pallas_available_for(shape: tuple[int, ...]) -> bool:
     """Whether the resident-propagation kernel fits this problem on TPU."""
     # per-program block is one [1, H, W] slice of the stack

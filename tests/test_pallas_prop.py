@@ -51,3 +51,50 @@ def test_availability_gate():
     assert not P.pallas_available_for((2, 403, 683))
     # far beyond VMEM
     assert not P.pallas_available_for((2, 4000, 4000))
+
+
+def test_scan_flood_matches_roll_flood():
+    """Segmented-scan flood must reach exactly the seed's component, same
+    as converged roll propagation (interpret mode)."""
+    import jax.numpy as jnp
+
+    from opencv_traffic_sign_detector_tpu.ops.pallas_prop import (
+        propagate_scan_pallas,
+    )
+
+    h = w = 64
+    rng = np.random.default_rng(11)
+    mask = np.zeros((2, h, w), bool)
+    # blob + an L in window 0, separate distractor blob
+    mask[0, 10:30, 10:30] = True
+    mask[0, 30:50, 10:16] = True       # attached leg -> L overall
+    mask[0, 40:50, 40:55] = True       # unconnected
+    # ring shape in window 1
+    mask[1, 8:40, 8:40] = True
+    mask[1, 14:34, 14:34] = False
+    big = h * w + 1
+    seeds = np.full((2, h, w), big, np.int32)
+    seeds[0, 12, 12] = 0
+    seeds[1, 8, 8] = 0
+
+    reach_scan = np.asarray(
+        propagate_scan_pallas(jnp.asarray(seeds), jnp.asarray(mask), big, 3,
+                              interpret=True)
+    )
+    # oracle: scipy-style flood via simple BFS in numpy
+    from collections import deque
+
+    for p in range(2):
+        want = np.zeros((h, w), bool)
+        sy, sx = np.argwhere(seeds[p] == 0)[0]
+        q = deque([(sy, sx)])
+        want[sy, sx] = True
+        while q:
+            y, x = q.popleft()
+            for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                yy, xx = y + dy, x + dx
+                if 0 <= yy < h and 0 <= xx < w and mask[p, yy, xx] and not want[yy, xx]:
+                    want[yy, xx] = True
+                    q.append((yy, xx))
+        got = reach_scan[p] == 0
+        np.testing.assert_array_equal(got, want, err_msg=f"window {p}")
