@@ -37,7 +37,7 @@ class MSERConfig:
     # throughput (junk proposals crowd out downstream stages).
     max_regions: int = 384
     min_diversity: float = 0.2  # OpenCV default, not exposed by the grammar
-    ccl_iters: int = 12  # propagation iteration cap (2 rounds; early-exit below it)
+    ccl_iters: int = 8  # propagation iteration cap (2 rounds; early-exit below it; full-set quality at 8 matches 12 with +19% throughput, PARITY.md)
     ccl_jumps: int = 1  # pointer jumps per round (gathers; 0 = rolls only)
     # Fused Pallas level sweep (TPU): whole sweep VMEM-resident, stability
     # from component *bbox* areas (see ops/mser_pallas.py).  Auto-falls back

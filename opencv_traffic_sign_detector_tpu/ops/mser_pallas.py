@@ -177,12 +177,16 @@ def _sweep_kernel(
     # channels), so convergence is bounded by the component's zigzag
     # complexity (1-2 passes for convex sign-like blobs), not its diameter.
     def axis_resolve(axis: int):
-        """Segmented full-run reduce along one axis for keys + extents."""
+        """Segmented full-run reduce along one axis for keys + extents.
+
+        Flags ride as int32 0/1 — Mosaic has no sub-32-bit vector rotate.
+        """
         size = w if axis == 1 else h
-        m_prev = pltpu.roll(mask, 1, axis=axis)
-        m_next = pltpu.roll(mask, size - 1, axis=axis)
-        seg_fwd = mask & ~m_prev  # run starts (toward index 0)
-        seg_bwd = mask & ~m_next  # run ends
+        mi = mask.astype(jnp.int32)
+        m_prev = pltpu.roll(mi, 1, axis=axis)
+        m_next = pltpu.roll(mi, size - 1, axis=axis)
+        seg_fwd = mi * (1 - m_prev)  # run starts (toward index 0)
+        seg_bwd = mi * (1 - m_next)  # run ends
         live = mask & (keys_ref[:] >= 0)
         vals = [jnp.where(mask, keys_ref[:], big)]
         ops = [jnp.minimum]
@@ -196,11 +200,12 @@ def _sweep_kernel(
             while k < size:
                 amt = k if fwd else size - k
                 fsh = pltpu.roll(f, amt, axis=axis)
+                blocked = f > 0
                 vs = [
-                    jnp.where(f, v, op(v, pltpu.roll(v, amt, axis=axis)))
+                    jnp.where(blocked, v, op(v, pltpu.roll(v, amt, axis=axis)))
                     for v, op in zip(vs, ops)
                 ]
-                f = f | fsh
+                f = jnp.maximum(f, fsh)
                 k *= 2
             return vs
 

@@ -89,11 +89,13 @@ def _scan_kernel(keys_ref, mask_ref, out_ref, *, passes: int, big: int):
     w = keys_ref.shape[2]
 
     def axis_resolve(v, axis):
+        # flags ride as int32 0/1 — Mosaic has no sub-32-bit vector rotate
         size = h if axis == 1 else w
-        m_prev = pltpu.roll(m, 1, axis=axis)
-        m_next = pltpu.roll(m, size - 1, axis=axis)
-        seg_fwd = m & ~m_prev
-        seg_bwd = m & ~m_next
+        mi = m.astype(jnp.int32)
+        m_prev = pltpu.roll(mi, 1, axis=axis)
+        m_next = pltpu.roll(mi, size - 1, axis=axis)
+        seg_fwd = mi * (1 - m_prev)
+        seg_bwd = mi * (1 - m_next)
 
         def dir_scan(x, seg, fwd):
             f = seg
@@ -102,9 +104,9 @@ def _scan_kernel(keys_ref, mask_ref, out_ref, *, passes: int, big: int):
                 amt = step if fwd else size - step
                 fsh = pltpu.roll(f, amt, axis=axis)
                 x = jnp.where(
-                    f, x, jnp.minimum(x, pltpu.roll(x, amt, axis=axis))
+                    f > 0, x, jnp.minimum(x, pltpu.roll(x, amt, axis=axis))
                 )
-                f = f | fsh
+                f = jnp.maximum(f, fsh)
                 step *= 2
             return x
 
