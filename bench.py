@@ -68,7 +68,7 @@ def _load_frames(n: int, size: str) -> np.ndarray:
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--frames", type=int, default=32)
-    parser.add_argument("--batch", type=int, default=4)
+    parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--size", choices=["gtsdb", "1080p"], default="gtsdb")
     parser.add_argument("--max_regions", type=int, default=256)
     parser.add_argument("--downscale", type=int, default=2,
