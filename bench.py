@@ -74,7 +74,8 @@ def main(argv=None) -> int:
     parser.add_argument("--downscale", type=int, default=2,
                         help="MSER-stage downscale (2 = tuned fast mode)")
     parser.add_argument("--ccl_iters", type=int, default=8)
-    parser.add_argument("--level_step", type=int, default=5)
+    parser.add_argument("--level_step", type=int, default=0,
+                        help="0 = auto (= delta)")
     parser.add_argument("--scan_passes", type=int, default=0)
     parser.add_argument("--extent_only", type=int, default=0)
     parser.add_argument("--skip_e2e", action="store_true",

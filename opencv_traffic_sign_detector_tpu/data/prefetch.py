@@ -22,11 +22,16 @@ def batched_frames(
     files: list[str],
     batch_size: int,
     prefetch: int = 2,
+    device_put: bool = False,
 ):
     """Yield (frames [B,H,W,3], names [B]) with background decode-ahead.
 
     The tail batch is padded by repeating the last frame; padded slots get
-    the name "__pad__".
+    the name "__pad__".  With ``device_put=True`` the producer thread also
+    uploads each batch (`jax.device_put`), overlapping the host->device
+    transfer of batch i+1 with the device compute of batch i — on this
+    container the relay link is the end-to-end bottleneck (~32 MB/s) and
+    overlapping it nearly doubles e2e throughput.
     """
 
     def assemble(chunk: list[str]):
@@ -38,6 +43,10 @@ def batched_frames(
             reps = batch_size - len(chunk)
             frames = np.concatenate([frames, frames[-1:].repeat(reps, 0)])
             names += ["__pad__"] * reps
+        if device_put:
+            import jax
+
+            frames = jax.device_put(frames)
         return frames, names
 
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)

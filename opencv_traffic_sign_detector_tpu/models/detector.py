@@ -208,7 +208,11 @@ class DetectionPipeline:
         detections: list[GroundTruthBox] = []
         done = 0
         pending: tuple | None = None
-        for frames, names in batched_frames(directory, files, bsz):
+        # the sharded path re-shards from host memory, so only pre-upload
+        # batches on the single-device path
+        for frames, names in batched_frames(
+            directory, files, bsz, device_put=self._sharded_fn is None
+        ):
             out = self.dispatch(frames)
             if pending is not None:
                 dets = self.collect(*pending)

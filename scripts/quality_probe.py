@@ -22,7 +22,7 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--downscale", type=int, default=2)
     ap.add_argument("--max_regions", type=int, default=256)
-    ap.add_argument("--level_step", type=int, default=5)
+    ap.add_argument("--level_step", type=int, default=0)
     ap.add_argument("--ccl_iters", type=int, default=8)
     ap.add_argument("--topk_pool", type=int, default=4)
     ap.add_argument("--cap_scale", type=float, default=4.0)
