@@ -78,6 +78,7 @@ def main(argv=None) -> int:
                         help="0 = auto (= delta)")
     parser.add_argument("--scan_passes", type=int, default=0)
     parser.add_argument("--extent_only", type=int, default=0)
+    parser.add_argument("--refine_scan", type=int, default=2)
     parser.add_argument("--skip_e2e", action="store_true",
                         help="skip the end-to-end (decode+serialize) scope")
     parser.add_argument("--skip_1080p", action="store_true",
@@ -117,7 +118,8 @@ def main(argv=None) -> int:
                         downscale=args.downscale, ccl_iters=args.ccl_iters,
                         ccl_jumps=0, level_step=args.level_step,
                         scan_passes=args.scan_passes,
-                        sweep_extent_only=bool(args.extent_only)),
+                        sweep_extent_only=bool(args.extent_only),
+                        refine_scan_passes=args.refine_scan),
         batch_size=args.batch,
     )
     red = jnp.asarray(templates.red)

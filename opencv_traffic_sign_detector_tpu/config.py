@@ -53,6 +53,12 @@ class MSERConfig:
     # step) passes — convergence bounded by a component's vertical zigzag
     # depth instead of its diameter (see ops/mser_pallas.py).  0 = rolls.
     scan_passes: int = 0
+    # Scan-based propagation for the bbox-refinement flood (separate knob:
+    # unlike the sweep, where roll truncation is a load-bearing band-pass,
+    # the refine flood wants the seed's *exact* component — full
+    # convergence in 2-3 zigzag-bounded passes beats 96 radius-1 rolls on
+    # both speed and accuracy).  0 = rolls.
+    refine_scan_passes: int = 2
     # Extent-only fused sweep: propagate just keys + vertical extents and
     # use squared height as the area proxy (3 roll channels instead of 5,
     # ~35% faster sweep).  Sound for this pipeline because the downstream

@@ -368,7 +368,7 @@ def mser_regions(gray: jnp.ndarray, cfg: MSERConfig):
         seeds = (seeds_s - 1) * ds + ds // 2 + 1  # block centre, native pad
         boxes, areas = _refine_boxes(im2, seeds, level_vals, pol_idx,
                                      _REFINE_ROLLS, seed_slack=ds,
-                                     scan_passes=cfg.scan_passes)
+                                     scan_passes=cfg.refine_scan_passes)
         if fused:
             # the fused sweep's candidate filter is on *bbox* area; enforce
             # the reference's exact pixel-area window on the native-res
@@ -380,7 +380,8 @@ def mser_regions(gray: jnp.ndarray, cfg: MSERConfig):
 
     seeds, level_vals, pol_idx, valid, im2, fused = sweep_candidates(gray, cfg)
     boxes, areas = _refine_boxes(im2, seeds, level_vals, pol_idx,
-                                 _REFINE_ROLLS, scan_passes=cfg.scan_passes)
+                                 _REFINE_ROLLS,
+                                 scan_passes=cfg.refine_scan_passes)
     if fused:
         valid = valid & (areas >= cfg.min_area) & (areas <= cfg.max_area)
     # back to unpadded frame coordinates

@@ -29,6 +29,7 @@ def main(argv=None) -> int:
     ap.add_argument("--fused", type=int, default=1)
     ap.add_argument("--extent_only", type=int, default=0)
     ap.add_argument("--scan_passes", type=int, default=0)
+    ap.add_argument("--refine_scan", type=int, default=0)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--limit", type=int, default=0, help="frame limit")
     ap.add_argument("--tag", default="")
@@ -56,6 +57,7 @@ def main(argv=None) -> int:
         topk_pool=args.topk_pool,
         sweep_extent_only=bool(args.extent_only),
         scan_passes=args.scan_passes,
+        refine_scan_passes=args.refine_scan,
     )
     cfg = PipelineConfig(mser=mser, batch_size=args.batch)
 
@@ -94,7 +96,7 @@ def main(argv=None) -> int:
     print(
         f"PROBE tag={args.tag} ds={args.downscale} step={args.level_step} "
         f"iters={args.ccl_iters} pool={args.topk_pool} cap={args.cap_scale} "
-        f"regions={args.max_regions} fused={args.fused} ext={args.extent_only} scan={args.scan_passes} | "
+        f"regions={args.max_regions} fused={args.fused} ext={args.extent_only} scan={args.scan_passes} rscan={args.refine_scan} | "
         f"dets={len(dets)} correct={tot.correct} P={p:.3f} R={r:.3f} "
         f"F1={f1:.3f} AP={ap_res['ap']:.4f} | {n_frames / dt:.2f} fps"
     )
