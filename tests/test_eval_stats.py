@@ -63,3 +63,15 @@ def test_full_dataset_parity_artifact(fixtures_dir):
     assert stats.total.precision >= 0.09
     assert stats.total.recall >= 0.33
     assert len(ours) > 500
+
+
+def test_full_dataset_parity_artifact_r2(fixtures_dir):
+    """Round-2 regression pin: the shipped tuned config's full-run artifact
+    (auto step 7, iters 8, scan refine) beats the reference on F1/P/R under
+    the reference's own statistics engine."""
+    ours = load_results_file(str(fixtures_dir / "ours_resultado_tpu_r2.txt"))
+    stats = compute_detection_statistics(ours, str(fixtures_dir / "gt_test.txt"))
+    assert stats.total.f1 >= 0.21
+    assert stats.total.precision >= 0.14
+    assert stats.total.recall >= 0.37
+    assert stats.total.correct >= 65
