@@ -84,7 +84,7 @@ def main(argv=None) -> int:
     if args.downscale > 1:
         import dataclasses as _dc
 
-        mser = _dc.replace(mser, downscale=args.downscale, ccl_iters=24,
+        mser = _dc.replace(mser, downscale=args.downscale, ccl_iters=8,
                            ccl_jumps=0)
 
     # Stage-level failure isolation, matching the reference validation

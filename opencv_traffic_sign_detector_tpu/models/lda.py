@@ -86,7 +86,10 @@ def lda_fit(X: jnp.ndarray, y: np.ndarray, tol: float = 1e-4) -> LDAParams:
     Xc = X - onehot @ means  # center by class mean
     std = Xc.std(axis=0)
     std[std == 0] = 1.0
-    fac = 1.0 / (n - c)
+    # degenerate guard: with n == c (one sample per class, tiny --limit
+    # runs) the within-class variance estimate is undefined; clamp the
+    # denominator so the fit stays finite (sklearn raises here instead)
+    fac = 1.0 / max(n - c, 1)
     Xs = np.sqrt(fac) * (Xc / std)
     _, S, Vt = np.linalg.svd(Xs, full_matrices=False)
     rank_mask = (S > tol).astype(np.float32)

@@ -195,3 +195,26 @@ def test_ldabayes_empty_class_heads(tmp_path):
     clf2 = SignClassifier.load(path)
     assert clf2.heads[2] is None and clf2.heads[3] is None
     np.testing.assert_array_equal(predict_classifier(clf2, X), pred)
+
+
+def test_run_validation_end_to_end_mini(mini_dataset, tmp_path):
+    """Full validation harness on the synthetic mini dataset: mining ->
+    split -> descriptors -> fit -> predict -> metrics, incl. classes with
+    zero positives (None heads) and the recorded proposal spec."""
+    cfg = MSERConfig(max_variation=1.0, max_regions=128)
+    result = run_validation(
+        mini_dataset,
+        mser_cfg=cfg,
+        clf_cfg=ClassifierConfig(),
+        validation_pct=0.34,
+        cache_path=str(tmp_path / "cache.npz"),
+    )
+    assert result.confusion.shape == (7, 7)
+    assert 0.0 <= result.accuracy <= 1.0
+    assert "NoSeñal" in result.report
+    clf = result.classifier
+    assert clf.proposal_spec is not None
+    assert cfg.to_string() in clf.proposal_spec
+    # mini dataset only has stop-sign positives: other heads are None
+    assert clf.heads[2] is not None  # type 3 = STOP (index 2)
+    assert any(h is None for h in clf.heads)
