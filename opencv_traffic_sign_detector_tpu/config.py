@@ -49,9 +49,11 @@ class MSERConfig:
     # post-refinement).  2.0 measured best on the GTSDB set (PARITY.md).
     bbox_area_cap_scale: float = 2.0
     # Scan-based propagation for the fused sweep: > 0 replaces the radius-1
-    # roll passes with N (horizontal segmented run-reduce + one vertical
-    # step) passes — convergence bounded by a component's vertical zigzag
-    # depth instead of its diameter (see ops/mser_pallas.py).  0 = rolls.
+    # roll passes with N full (horizontal + vertical) segmented run-resolve
+    # passes — convergence bounded by a component's zigzag complexity
+    # instead of its diameter.  Kept as an option only: full convergence
+    # measurably HURTS sweep quality (the roll cap's radius truncation is a
+    # load-bearing spatial band-pass — see PARITY.md).  0 = rolls (default).
     scan_passes: int = 0
     # Scan-based propagation for the bbox-refinement flood (separate knob:
     # unlike the sweep, where roll truncation is a load-bearing band-pass,
