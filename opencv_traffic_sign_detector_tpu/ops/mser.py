@@ -46,7 +46,7 @@ import jax.numpy as jnp
 
 from ..config import MSERConfig
 from .ccl import propagate_min_keys
-from .mser_pallas import fused_level_sweep, fused_sweep_ok
+from .mser_pallas import fused_level_sweep, fused_sweep_ok, packing_bits
 
 # Static window size for bbox refinement; sign-scale components at the
 # default max_area=2000 fit comfortably in 128x128.
@@ -210,21 +210,25 @@ def _refine_boxes(im2: jnp.ndarray, seeds_yx: jnp.ndarray, levels: jnp.ndarray,
         jnp.int32(big),
     )
     # flood the seed's component: radius = 2*num_rolls (two roll rounds),
-    # or full-component segmented-scan resolves when scan_passes > 0
-    from .pallas_prop import pallas_available_for, propagate_scan_pallas
+    # or full-component segmented-scan resolves when scan_passes > 0.  On
+    # TPU the flood and the bbox/area reductions run fused in one kernel
+    # (the flood result never leaves VMEM).
+    from .pallas_prop import flood_bbox_pallas, pallas_available_for
 
     if scan_passes > 0 and pallas_available_for(mask.shape):
-        reach = propagate_scan_pallas(seed_map, mask, big, scan_passes)
+        out = flood_bbox_pallas(seed_map, mask, big, scan_passes)
+        ymin, ymax = out[:, 0], out[:, 1]
+        xmin, xmax = out[:, 2], out[:, 3]
+        area = out[:, 4]
     else:
         reach = propagate_min_keys(seed_map, mask, big, num_rolls=num_rolls,
                                    num_jumps=0, edges_safe=True)
-    sel = reach == 0
-
-    ymin = jnp.min(jnp.where(sel, rows, big), axis=(1, 2))
-    ymax = jnp.max(jnp.where(sel, rows, -1), axis=(1, 2))
-    xmin = jnp.min(jnp.where(sel, cols, big), axis=(1, 2))
-    xmax = jnp.max(jnp.where(sel, cols, -1), axis=(1, 2))
-    area = jnp.sum(sel.astype(jnp.int32), axis=(1, 2))
+        sel = reach == 0
+        ymin = jnp.min(jnp.where(sel, rows, big), axis=(1, 2))
+        ymax = jnp.max(jnp.where(sel, rows, -1), axis=(1, 2))
+        xmin = jnp.min(jnp.where(sel, cols, big), axis=(1, 2))
+        xmax = jnp.max(jnp.where(sel, cols, -1), axis=(1, 2))
+        area = jnp.sum(sel.astype(jnp.int32), axis=(1, 2))
     boxes = jnp.stack(
         [x0s + xmin, y0s + ymin, xmax - xmin + 1, ymax - ymin + 1], axis=-1
     )
@@ -247,55 +251,47 @@ def mser_regions(gray: jnp.ndarray, cfg: MSERConfig):
         # leak between opposite edges (propagate_min_keys edge handling)
         return jnp.pad(both, ((0, 0), (1, 1), (1, 1)), constant_values=255)
 
-    def pooled_topk(sb4, c, levels, d_idx):
-        """Pooled candidate selection on [2, L, H, W] stability bytes.
+    def pooled_topk_packed(cmap, c, levels, d_idx):
+        """Candidate selection on the kernel's level-collapsed map.
 
-        Max-pools (pool x pool) spatial blocks with the in-block position
-        packed into the value's low bits, then top-k's the pooled map —
-        pool^2 x less top-k work for the same stability ranking (block
-        collisions merge same-level anchors < pool px apart, which dedup
-        would merge anyway).  -> (seeds, level_vals, pol_idx, valid).
+        ``cmap`` is the fused sweep's [2, H, W] int32 output — per pixel,
+        (stability byte << lbits | level) maximized across levels in-kernel
+        (see `.mser_pallas.fused_level_sweep`).  Here the map is max-pooled
+        over (pool x pool) spatial blocks with the in-block position packed
+        into the low bits, then top-k'd — pool^2 x less top-k work for the
+        same stability ranking (block collisions merge anchors < pool px
+        apart, which dedup would merge anyway).
+        -> (seeds, level_vals, pol_idx, valid).
         """
         pool = max(1, c.topk_pool)
-        p2, nl, h, w = sb4.shape
+        nl = len(levels)
         s = c.level_step if c.level_step > 0 else c.delta
-        bits = max((pool * pool - 1).bit_length(), 1)
-        lbits = max((nl - 1).bit_length(), 1)
-        ph, pw = (-h) % pool, (-w) % pool
-        x = sb4.astype(jnp.int32)
-        if ph or pw:
-            x = jnp.pad(x, ((0, 0), (0, 0), (0, ph), (0, pw)))
-        hp, wp = h + ph, w + pw
-        rows = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+        bits, lbits = packing_bits(pool, nl)
+        p2, h, w = cmap.shape  # kernel output: h, w are pool multiples
+        rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
         local = (rows % pool) * pool + cols % pool
-        comb = x * (1 << bits) + local
-        h4, w4 = hp // pool, wp // pool
-        pooled = comb.reshape(p2, nl, h4, pool, w4, pool).max(axis=(3, 5))
-        # collapse the level axis too (level packed into the low bits), so
-        # the global ranking sorts [2, h4, w4] instead of [2, L, h4, w4] —
-        # top_k is sort-based and was ~30% of MSER time.  At most one
-        # candidate level survives per (polarity, pool block); nested
-        # same-block emissions were largely merged by min_diversity already.
-        lv = jax.lax.broadcasted_iota(jnp.int32, pooled.shape, 1)
-        best = jnp.max(pooled * (1 << lbits) + lv, axis=1)  # [p2, h4, w4]
+        comb = cmap * (1 << bits) + local[None]
+        h4, w4 = h // pool, w // pool
+        best = comb.reshape(p2, h4, pool, w4, pool).max(axis=(2, 4))
 
         n = c.max_regions
         top_vals, top_idx = jax.lax.top_k(best.reshape(-1), n)
-        t_idx = top_vals & ((1 << lbits) - 1)
-        pooled_vals = top_vals >> lbits
-        valid = pooled_vals >= (1 << bits)  # stability byte > 0
+        local = top_vals & ((1 << bits) - 1)
+        t_idx = (top_vals >> bits) & ((1 << lbits) - 1)
+        valid = (top_vals >> (bits + lbits)) > 0  # stability byte > 0
 
         per_pol = h4 * w4
         pol_idx = top_idx // per_pol
         rem = top_idx - pol_idx * per_pol
         y4 = rem // w4
         x4 = rem - y4 * w4
-        local = pooled_vals & ((1 << bits) - 1)
         y = y4 * pool + local // pool
         xx = x4 * pool + local % pool
         level_vals = jnp.maximum(
-            jnp.asarray(levels, jnp.int32)[t_idx] - (d_idx + 1) * s, 0
+            jnp.asarray(levels, jnp.int32)[jnp.clip(t_idx, 0, nl - 1)]
+            - (d_idx + 1) * s,
+            0,
         )
         seeds = jnp.stack([y, xx], axis=-1).astype(jnp.int32)
         return seeds, level_vals, pol_idx, valid
@@ -316,10 +312,11 @@ def mser_regions(gray: jnp.ndarray, cfg: MSERConfig):
         hw = h * w
 
         if c.fused_sweep and fused_sweep_ok(h, w, c):
-            # fused Pallas sweep: [2, L, H, W] stability bytes
-            sb4 = fused_level_sweep(im2, c, d_idx, len(levels))
-            seeds, level_vals, pol_idx, valid = pooled_topk(
-                sb4, c, levels, d_idx
+            # fused Pallas sweep: packed pooled candidate map (strip-tiled
+            # past the VMEM budget; pooling + level collapse in-kernel)
+            best = fused_level_sweep(im2, c, d_idx, len(levels))
+            seeds, level_vals, pol_idx, valid = pooled_topk_packed(
+                best, c, levels, d_idx
             )
             return seeds, level_vals, pol_idx, valid, im2, True
 

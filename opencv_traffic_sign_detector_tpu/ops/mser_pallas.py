@@ -1,11 +1,11 @@
-"""Fused Pallas MSER level sweep: all levels resident in VMEM, no scatters.
+"""Fused Pallas MSER level sweep: VMEM-resident, strip-tiled, pooled output.
 
 The XLA level sweep (`.mser._level_sweep`) round-trips keys + rings through
 HBM every level and spends ~half its time in a per-level scatter-add (area
 counting at anchor pixels).  This kernel keeps the whole sweep state in
-VMEM across all ~54 threshold levels (grid = (polarity, level), scratch
-persists across the level axis) and replaces pixel-area stability with
-**bounding-box-area stability**:
+VMEM across all ~40 threshold levels (grid = (polarity, strip, level),
+scratch persists across the level axis) and replaces pixel-area stability
+with **bounding-box-area stability**:
 
 * five channels propagate by 4-neighbour roll min/max per level — the
   component key (min; identifies the anchor = darkest pixel, exactly as in
@@ -16,6 +16,27 @@ persists across the level axis) and replaces pixel-area stability with
 * candidates are emitted exactly like the XLA sweep: at the anchor pixel,
   for level ``levels[t] - (d+1)*step``, as a quantized-stability byte.
 
+Two structural features added in round 3:
+
+**Row-strip tiling.**  Frames whose state does not fit VMEM are processed
+as independent row strips with a halo (``sweep_plan``): each strip runs the
+full level sweep on ``core + 2*halo`` rows and emits candidates only from
+its core rows.  No cross-strip merge pass is needed because the candidate
+filter caps bbox area at ``max_area * bbox_area_cap_scale`` — any component
+whose bbox exceeds the halo cannot emit, and oversized background
+components fragment into full-width (huge, hence dead) pieces per strip.
+This is the survey's spatial-tiling plan (SURVEY.md §5: halo exchange as
+the context-parallel analog); it removes the old 560k-pixel cap, so
+native-resolution 1360x800 and 1080p+ frames run the fused path.
+
+**In-kernel level collapse.**  Instead of materializing the [P, L, H, W]
+stability byte tensor in HBM and reducing it afterwards, the kernel packs
+(stability byte, level) into one int32 per pixel and folds a running max
+across the level axis — the output is just [P, H, W] int32, ~L/4 x
+smaller, and the downstream spatial max-pool + top-k run on a single map.
+(Spatial pooling stays XLA-side: Mosaic cannot lower the blocked-reshape
+max, and over the collapsed map it is cheap.)
+
 Divergence from the XLA sweep (and OpenCV): stability and the area window
 use the component's *bounding-box* area rather than its pixel count (a
 pixel count needs a scatter per level, ~10 ms/M through this TPU).  Bbox
@@ -25,8 +46,7 @@ prohibition rings have bbox ~2-4x their pixel count).  End-to-end quality
 is revalidated on the GTSDB set (see PARITY.md).
 
 Replaces `cv2.MSER_create` / `detectRegions` (`Deteción de
-Objetos/source.py:639,114`) together with `.mser`; measured ~5x faster
-than the XLA sweep at the shipped ds=2 configuration.
+Objetos/source.py:639,114`) together with `.mser`.
 """
 
 from __future__ import annotations
@@ -40,18 +60,68 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import MSERConfig
 
-# VMEM budget: 5 i32 channels + bf16 rings + input/output blocks comes to
-# ~32 bytes/pixel of resident state; the kernel requests a 100 MB scoped
-# window (v5e VMEM is 128 MB), so 560k pixels (1080p at the ds=2 sweep:
-# 546x962 after padding) still fits with margin for compiler temporaries.
-_MAX_PIXELS = 560_000
+# Per-strip VMEM pixel budget: 5 i32 channels + bf16 rings + temporaries
+# against the 100 MB scoped window requested below.  Empirically calibrated
+# on a v5e chip (scripts/vmem_probe.py): a 1.10M-px window compiles and
+# runs; 1.31M fails in the Mosaic allocator.
+_VMEM_PX = 1_110_000
+# Halo bounds (rows per strip side); the actual halo scales with the
+# candidate bbox cap, see plan_halo().
+_HALO_MIN, _HALO_MAX = 32, 160
+# Row alignment: sublane multiple (int32 tile = 8 rows).
+_ROW_ALIGN = 8
+
+
+def plan_halo(cfg: MSERConfig) -> int:
+    """Halo rows per strip side for this config.
+
+    Any near-square candidate that passes the bbox-area cap has side
+    <= sqrt(max_area * cap_scale); 1.5x that covers moderately elongated
+    shapes (extreme thin-vertical components get truncated extents near
+    strip boundaries — they cannot survive the downstream aspect filter,
+    and end-to-end quality is revalidated per round, PARITY.md).
+    """
+    dim = (float(cfg.max_area) * cfg.bbox_area_cap_scale) ** 0.5
+    halo = -(-int(dim * 1.5) // _ROW_ALIGN) * _ROW_ALIGN
+    return max(_HALO_MIN, min(halo, _HALO_MAX))
+
+
+def sweep_plan(
+    h: int, w: int, pool: int, halo: int = _HALO_MAX
+) -> tuple[int, int, int] | None:
+    """Static strip plan for a padded (h, w) frame: (n_strips, core, halo).
+
+    core rows are aligned to lcm(8, pool); single-strip plans have halo 0.
+    Returns None when even a minimal strip exceeds the VMEM budget (w too
+    large).
+    """
+    pool = max(1, pool)
+    align = _ROW_ALIGN * pool // _gcd(_ROW_ALIGN, pool)
+    wp = -(-w // pool) * pool
+    h_aligned = -(-h // align) * align
+    rmax = _VMEM_PX // wp
+    rmax -= rmax % _ROW_ALIGN
+    if rmax >= h_aligned:
+        return (1, h_aligned, 0)
+    core = rmax - 2 * halo
+    core -= core % align
+    if core < align:
+        return None
+    n = -(-h // core)
+    return (n, core, halo)
+
+
+def _gcd(a: int, b: int) -> int:
+    while b:
+        a, b = b, a % b
+    return a
 
 
 def fused_sweep_ok(h: int, w: int, cfg: MSERConfig) -> bool:
     """Whether the fused sweep supports this padded geometry + config."""
     if cfg.ccl_jumps != 0:
         return False  # pointer jumps are gathers; the fused path has none
-    if h * w > _MAX_PIXELS:
+    if sweep_plan(h, w, cfg.topk_pool, plan_halo(cfg)) is None:
         return False
     try:
         return jax.default_backend() not in ("cpu",)
@@ -59,15 +129,21 @@ def fused_sweep_ok(h: int, w: int, cfg: MSERConfig) -> bool:
         return False
 
 
-def _sweep_kernel(
-    im2_ref, sb_ref,
+def _sweep_body(
+    window_u8,
     keys_ref, ymin_ref, xmin_ref, ymax_ref, xmax_ref,
     aring_ref, vring_ref, lastemit_ref,
+    t,
     *, step: int, d: int, num_rolls: int,
     min_area: float, max_area: float, max_variation: float,
     min_diversity: float, scan_passes: int = 0,
 ):
-    """One (polarity, level) grid step of the fused sweep.
+    """One level step of the sweep over one strip window.
+
+    ``window_u8`` is the [R, W] uint8 strip (halo included); state refs are
+    [R, W] scratch persisting across the level axis (t).  Returns the
+    candidate map ``qv`` (f32 [R, W]; 0 = not a candidate, else the
+    quantized stability byte value).
 
     With ``xmin_ref is None`` (the extent-only variant) only keys + the
     vertical extents propagate and the area proxy is the squared height
@@ -78,13 +154,11 @@ def _sweep_kernel(
     cutting the per-pass roll work from 5 channels to 3.
     """
     extent_only = xmin_ref is None
-    h = im2_ref.shape[1]
-    w = im2_ref.shape[2]
+    h, w = window_u8.shape
     hw = h * w
     big = jnp.int32(256 * hw)
     bigc = jnp.int32(1 << 28)
     inf = jnp.float32(jnp.inf)
-    t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _init():
@@ -99,11 +173,15 @@ def _sweep_kernel(
         lastemit_ref[:] = jnp.zeros(lastemit_ref.shape, jnp.bfloat16)
 
     level = t * step
-    im2 = im2_ref[0].astype(jnp.int32)
-    mask = im2 <= level
+    im2 = window_u8.astype(jnp.int32)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    # Strip windows of interior strips have real pixels on their first/last
+    # row; masking them off keeps roll wraparound from fusing the strip's
+    # opposite edges (whole frames already carry a 255 border, where this
+    # guard only clips the degenerate >= 255 flush levels).
+    mask = (im2 <= level) & (rows > 0) & (rows < h - 1)
     idx = rows * w + cols
     keys0 = im2 * hw + idx
 
@@ -284,15 +362,91 @@ def _sweep_kernel(
     cand = cand & diverse
     lastemit_ref[:] = jnp.where(cand, area_c, last).astype(jnp.bfloat16)
     qv = jnp.clip(254.0 - jnp.floor(v_c * 253.0), 1.0, 254.0)
-    sb_ref[0, 0] = (
-        jnp.where(cand, qv, 0.0).astype(jnp.int32).astype(jnp.uint8)
-    )
 
     # ring writes (evict the slots just read); rings are bf16 to fit VMEM
     # (areas <= 65535 and variation ratios tolerate the 8-bit mantissa —
     # the stability byte quantization step is of the same order)
     aring_ref[pl.ds(jax.lax.rem(t, nring), 1)] = a_cur.astype(jnp.bfloat16)[None]
     vring_ref[pl.ds(s_v_new, 1)] = v_new.astype(jnp.bfloat16)[None]
+
+    return jnp.where(cand, qv, 0.0)
+
+
+def _state_scratch(r: int, w: int, d_idx: int, extent_only: bool):
+    """Scratch shapes for one strip's sweep state."""
+    ext = [] if extent_only else [
+        pltpu.VMEM((r, w), jnp.int32),  # xmin
+        pltpu.VMEM((r, w), jnp.int32),  # xmax
+    ]
+    return [
+        pltpu.VMEM((r, w), jnp.int32),      # keys
+        pltpu.VMEM((r, w), jnp.int32),      # ymin
+    ] + ext[:1] + [
+        pltpu.VMEM((r, w), jnp.int32),      # ymax
+    ] + ext[1:] + [
+        pltpu.VMEM((d_idx + 1, r, w), jnp.bfloat16),  # bbox-area ring
+        pltpu.VMEM((2, r, w), jnp.bfloat16),          # variation ring
+        pltpu.VMEM((r, w), jnp.bfloat16),   # last-emitted area (min_div)
+    ]
+
+
+def _body_kwargs(cfg: MSERConfig, d_idx: int):
+    s = cfg.level_step if cfg.level_step > 0 else cfg.delta
+    return dict(
+        step=s,
+        d=d_idx,
+        num_rolls=2 * cfg.ccl_iters,
+        min_area=float(cfg.min_area),
+        max_area=float(cfg.max_area) * cfg.bbox_area_cap_scale,
+        max_variation=float(cfg.max_variation),
+        min_diversity=float(cfg.min_diversity),
+        scan_passes=cfg.scan_passes,
+    )
+
+
+def packing_bits(pool: int, num_levels: int) -> tuple[int, int]:
+    """(in-block position bits, level bits) of the packed candidate value."""
+    pool = max(1, pool)
+    bits = max((pool * pool - 1).bit_length(), 1)
+    lbits = max((num_levels - 1).bit_length(), 1)
+    return bits, lbits
+
+
+def _collapsed_kernel(
+    im2_ref, out_ref, *state,
+    core: int, halo: int, lbits: int,
+    extent_only: bool, body_kwargs: dict,
+):
+    """One (polarity, strip, level) grid step with in-kernel level collapse.
+
+    out_ref block [1, core, W] i32 accumulates, across the level axis,
+    max((qv << lbits) | level) per pixel.
+    """
+    s = pl.program_id(1)
+    t = pl.program_id(2)
+    r = core + 2 * halo
+    row0 = pl.multiple_of(s * core, _ROW_ALIGN)
+    window = im2_ref[0, pl.ds(row0, r), :]
+
+    if extent_only:
+        keys, ymin, ymax, aring, vring, lastemit = state
+        xmin = xmax = None
+    else:
+        keys, ymin, xmin, ymax, xmax, aring, vring, lastemit = state
+
+    qv = _sweep_body(
+        window, keys, ymin, xmin, ymax, xmax, aring, vring, lastemit, t,
+        **body_kwargs,
+    )
+
+    core_qv = qv[halo:halo + core].astype(jnp.int32)
+    packed = core_qv * (1 << lbits) + t
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    out_ref[0] = jnp.maximum(out_ref[0], packed)
 
 
 @functools.partial(
@@ -305,36 +459,101 @@ def fused_level_sweep(
     num_levels: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """[P, H, W] polarity-stacked uint8/int -> stability bytes [P, L, H, W].
+    """[P, H, W] polarity-stacked uint8/int -> level-collapsed candidate map.
 
-    Step t of the L axis holds the candidates for threshold level
-    ``t*step - (d_idx+1)*step`` (same lag convention as the XLA sweep).
+    Returns int32 [P, n_strips*core, ceilpool(W)]: per pixel,
+    ``(stability_byte << lbits) | level_idx`` maximized over all levels
+    (level_idx alone, i.e. stability 0, where no candidate).  Decode with
+    :func:`packing_bits` / `.mser.pooled_topk_packed`; level_idx t holds the
+    candidates for threshold level ``t*step - (d_idx+1)*step`` (same lag
+    convention as the XLA sweep).
     """
     p, h, w = im2.shape
-    s = cfg.level_step if cfg.level_step > 0 else cfg.delta
-    base = functools.partial(
-        _sweep_kernel,
-        step=s,
-        d=d_idx,
-        num_rolls=2 * cfg.ccl_iters,
-        min_area=float(cfg.min_area),
-        max_area=float(cfg.max_area) * cfg.bbox_area_cap_scale,
-        max_variation=float(cfg.max_variation),
-        min_diversity=float(cfg.min_diversity),
-        scan_passes=cfg.scan_passes,
-    )
-    if cfg.sweep_extent_only:
-        def kern(im2_ref, sb_ref, keys, ymin, ymax, aring, vring, lastemit):
-            base(im2_ref, sb_ref, keys, ymin, None, ymax, None,
-                 aring, vring, lastemit)
+    pool = max(1, cfg.topk_pool)
+    plan = sweep_plan(h, w, pool, plan_halo(cfg))
+    if plan is None:
+        raise ValueError(f"no strip plan for geometry {h}x{w}")
+    n_strips, core, halo = plan
+    _, lbits = packing_bits(pool, num_levels)
+    assert num_levels <= (1 << lbits)
 
-        extent_scratch = []
+    wp = -(-w // pool) * pool
+    h_tot = n_strips * core + 2 * halo
+    # original row r lives at padded row r + halo (255 pad = background)
+    im2p = jnp.full((p, h_tot, wp), 255, jnp.uint8)
+    im2p = jax.lax.dynamic_update_slice(
+        im2p, im2.astype(jnp.uint8), (0, halo, 0)
+    )
+
+    r = core + 2 * halo
+    kern = functools.partial(
+        _collapsed_kernel,
+        core=core, halo=halo, lbits=lbits,
+        extent_only=cfg.sweep_extent_only,
+        body_kwargs=_body_kwargs(cfg, d_idx),
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(p, n_strips, num_levels),
+        out_shape=jax.ShapeDtypeStruct((p, n_strips * core, wp), jnp.int32),
+        in_specs=[
+            pl.BlockSpec((1, h_tot, wp), lambda i, s, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, core, wp), lambda i, s, t: (i, s, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=_state_scratch(r, wp, d_idx, cfg.sweep_extent_only),
+        compiler_params=pltpu.CompilerParams(
+            # resident state + compiler temporaries exceed the default 16 MB
+            # scoped window; v5e VMEM (128 MB) can hold it
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(im2p)
+
+
+def _full_kernel(
+    im2_ref, sb_ref, *state, extent_only: bool, body_kwargs: dict,
+):
+    """Single-strip variant emitting the full per-level byte map (tests)."""
+    t = pl.program_id(1)
+    window = im2_ref[0]
+    if extent_only:
+        keys, ymin, ymax, aring, vring, lastemit = state
+        xmin = xmax = None
     else:
-        kern = base
-        extent_scratch = [
-            pltpu.VMEM((h, w), jnp.int32),  # xmin
-            pltpu.VMEM((h, w), jnp.int32),  # xmax
-        ]
+        keys, ymin, xmin, ymax, xmax, aring, vring, lastemit = state
+    qv = _sweep_body(
+        window, keys, ymin, xmin, ymax, xmax, aring, vring, lastemit, t,
+        **body_kwargs,
+    )
+    sb_ref[0, 0] = qv.astype(jnp.int32).astype(jnp.uint8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "d_idx", "num_levels", "interpret")
+)
+def fused_level_sweep_full(
+    im2: jnp.ndarray,
+    cfg: MSERConfig,
+    d_idx: int,
+    num_levels: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """[P, H, W] -> stability bytes [P, L, H, W] (single strip; test oracle).
+
+    Same sweep body as :func:`fused_level_sweep` but materializes the full
+    per-level candidate byte map instead of the pooled packed output, so
+    tests can compare against the XLA sweep pixel-for-pixel.
+    """
+    p, h, w = im2.shape
+    kern = functools.partial(
+        _full_kernel,
+        extent_only=cfg.sweep_extent_only,
+        body_kwargs=_body_kwargs(cfg, d_idx),
+    )
     return pl.pallas_call(
         kern,
         grid=(p, num_levels),
@@ -345,19 +564,8 @@ def fused_level_sweep(
         ],
         out_specs=pl.BlockSpec((1, 1, h, w), lambda i, t: (i, t, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((h, w), jnp.int32),      # keys
-            pltpu.VMEM((h, w), jnp.int32),      # ymin
-        ] + extent_scratch[:1] + [
-            pltpu.VMEM((h, w), jnp.int32),      # ymax
-        ] + extent_scratch[1:] + [
-            pltpu.VMEM((d_idx + 1, h, w), jnp.bfloat16),  # bbox-area ring
-            pltpu.VMEM((2, h, w), jnp.bfloat16),          # variation ring
-            pltpu.VMEM((h, w), jnp.bfloat16),   # last-emitted area (min_div)
-        ],
+        scratch_shapes=_state_scratch(h, w, d_idx, cfg.sweep_extent_only),
         compiler_params=pltpu.CompilerParams(
-            # resident state + compiler temporaries exceed the default 16 MB
-            # scoped window at the shipped ds=2 geometry; v5e VMEM can hold it
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,

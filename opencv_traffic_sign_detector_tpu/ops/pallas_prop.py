@@ -144,6 +144,109 @@ def propagate_scan_pallas(
     )(keys, mask.astype(jnp.int8))
 
 
+def _flood_bbox_kernel(keys_ref, mask_ref, out_ref, *, passes: int, big: int):
+    """Seed flood + bbox/area reduction for a chunk of candidate windows.
+
+    keys [C, H, W] i32 ({0 at seed, big elsewhere}), mask [C, H, W] i8 ->
+    out [C, 128] i32: (ymin, ymax, xmin, xmax, area) in lanes 0-4 of the
+    seed's connected component per window.  Windows are independent along
+    axis 0;
+    the flood is the same segmented-scan resolve as `_scan_kernel`, and the
+    reduction happens in VMEM so the [C, H, W] flood result never touches
+    HBM (the old path materialized it and ran 5 XLA reductions over it).
+    """
+    m = mask_ref[:] != 0
+    bigv = jnp.int32(big)
+    k = jnp.where(m, keys_ref[:], bigv)
+    c, h, w = keys_ref.shape
+
+    def axis_resolve(v, axis):
+        size = h if axis == 1 else w
+        mi = m.astype(jnp.int32)
+        m_prev = pltpu.roll(mi, 1, axis=axis)
+        m_next = pltpu.roll(mi, size - 1, axis=axis)
+        seg_fwd = mi * (1 - m_prev)
+        seg_bwd = mi * (1 - m_next)
+
+        def dir_scan(x, seg, fwd):
+            f = seg
+            step = 1
+            while step < size:
+                amt = step if fwd else size - step
+                fsh = pltpu.roll(f, amt, axis=axis)
+                x = jnp.where(
+                    f > 0, x, jnp.minimum(x, pltpu.roll(x, amt, axis=axis))
+                )
+                f = jnp.maximum(f, fsh)
+                step *= 2
+            return x
+
+        out = jnp.minimum(dir_scan(v, seg_fwd, True),
+                          dir_scan(v, seg_bwd, False))
+        return jnp.where(m, out, bigv)
+
+    for _ in range(passes):
+        k = axis_resolve(k, 2)
+        k = axis_resolve(k, 1)
+    k = axis_resolve(k, 2)
+
+    sel = k == 0
+    rows = jax.lax.broadcasted_iota(jnp.int32, (c, h, w), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (c, h, w), 2)
+    # two-step reductions (axis 2 then axis 1) and a lane-wide [C, 128]
+    # output: Mosaic's layout inference rejects the narrow [C, 8] shapes
+    ymin = jnp.min(jnp.min(jnp.where(sel, rows, bigv), axis=2),
+                   axis=1, keepdims=True)
+    ymax = jnp.max(jnp.max(jnp.where(sel, rows, -1), axis=2),
+                   axis=1, keepdims=True)
+    xmin = jnp.min(jnp.min(jnp.where(sel, cols, bigv), axis=2),
+                   axis=1, keepdims=True)
+    xmax = jnp.max(jnp.max(jnp.where(sel, cols, -1), axis=2),
+                   axis=1, keepdims=True)
+    area = jnp.sum(jnp.sum(sel.astype(jnp.int32), axis=2),
+                   axis=1, keepdims=True)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (c, 128), 1)
+    out = jnp.zeros((c, 128), jnp.int32)
+    for j, v in enumerate([ymin, ymax, xmin, xmax, area]):
+        out = jnp.where(lane == j, v, out)
+    out_ref[:] = out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_passes", "big", "interpret")
+)
+def flood_bbox_pallas(
+    keys: jnp.ndarray, mask: jnp.ndarray, big: int, num_passes: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """[N, H, W] seed maps + masks -> [N, 128] (ymin, ymax, xmin, xmax, area
+    in lanes 0-4; lane-width output keeps Mosaic layouts legal).
+
+    The fused form of ``propagate_scan_pallas(...) == 0`` followed by bbox
+    reductions (`.mser._refine_boxes`); windows are processed in chunks of 8
+    so the flood state stays small and programs pipeline.
+    """
+    n, h, w = keys.shape
+    chunk = 8 if n % 8 == 0 else (4 if n % 4 == 0 else 1)
+    kern = functools.partial(_flood_bbox_kernel, passes=num_passes, big=big)
+    block = pl.BlockSpec((chunk, h, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(n // chunk,),
+        out_shape=jax.ShapeDtypeStruct((n, 128), jnp.int32),
+        in_specs=[block, block],
+        out_specs=pl.BlockSpec((chunk, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            # the unrolled Hillis-Steele doubling keeps several whole-chunk
+            # temporaries live; the default 16 MB window is too small
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(keys, mask.astype(jnp.int8))
+
+
 def pallas_available_for(shape: tuple[int, ...]) -> bool:
     """Whether the resident-propagation kernel fits this problem on TPU."""
     # per-program block is one [1, H, W] slice of the stack

@@ -103,7 +103,7 @@ class TestFusedSweep:
 
         from opencv_traffic_sign_detector_tpu.ops import mser as M
         from opencv_traffic_sign_detector_tpu.ops.mser_pallas import (
-            fused_level_sweep,
+            fused_level_sweep_full,
         )
 
         s = cfg.level_step if cfg.level_step > 0 else cfg.delta
@@ -114,7 +114,7 @@ class TestFusedSweep:
         im2 = jnp.pad(both, ((0, 0), (1, 1), (1, 1)), constant_values=255)
         sb_x = np.asarray(M._level_sweep(im2, levels, cfg, d_idx))
         sb_f = np.asarray(
-            fused_level_sweep(im2, cfg, d_idx, len(levels), interpret=True)
+            fused_level_sweep_full(im2, cfg, d_idx, len(levels), interpret=True)
         )
         h, w = im2.shape[1:]
         sb_x4 = sb_x.reshape(len(levels), 2, h, w).transpose(1, 0, 2, 3)
@@ -177,7 +177,7 @@ def test_extent_only_sweep_matches_on_squares():
     import jax.numpy as jnp
 
     from opencv_traffic_sign_detector_tpu.ops.mser_pallas import (
-        fused_level_sweep,
+        fused_level_sweep_full,
     )
 
     g = np.full((126, 158), 200, np.uint8)
@@ -193,8 +193,8 @@ def test_extent_only_sweep_matches_on_squares():
     gq = jnp.asarray(g)
     both = jnp.stack([gq.astype(jnp.int32), 255 - gq.astype(jnp.int32)])
     im2 = jnp.pad(both, ((0, 0), (1, 1), (1, 1)), constant_values=255)
-    sb5 = np.asarray(fused_level_sweep(im2, cfg5, d_idx, len(levels), interpret=True))
-    sb3 = np.asarray(fused_level_sweep(im2, cfg3, d_idx, len(levels), interpret=True))
+    sb5 = np.asarray(fused_level_sweep_full(im2, cfg5, d_idx, len(levels), interpret=True))
+    sb3 = np.asarray(fused_level_sweep_full(im2, cfg3, d_idx, len(levels), interpret=True))
     assert sb3[0, :, 41, 51].max() > 0
     assert sb3[0, :, 81, 101].max() > 0
     np.testing.assert_array_equal(sb3[0, :, 41, 51], sb5[0, :, 41, 51])
@@ -208,7 +208,7 @@ def test_scan_propagation_matches_roll_candidates():
     import jax.numpy as jnp
 
     from opencv_traffic_sign_detector_tpu.ops.mser_pallas import (
-        fused_level_sweep,
+        fused_level_sweep_full,
     )
 
     g = np.full((126, 158), 200, np.uint8)
@@ -225,11 +225,11 @@ def test_scan_propagation_matches_roll_candidates():
     both = jnp.stack([gq.astype(jnp.int32), 255 - gq.astype(jnp.int32)])
     im2 = jnp.pad(both, ((0, 0), (1, 1), (1, 1)), constant_values=255)
     sb_roll = np.asarray(
-        fused_level_sweep(im2, MSERConfig(**base), d_idx, len(levels),
+        fused_level_sweep_full(im2, MSERConfig(**base), d_idx, len(levels),
                           interpret=True)
     )
     sb_scan = np.asarray(
-        fused_level_sweep(im2, MSERConfig(scan_passes=2, **base), d_idx,
+        fused_level_sweep_full(im2, MSERConfig(scan_passes=2, **base), d_idx,
                           len(levels), interpret=True)
     )
     anchors_roll = {(p, y, x) for p, _, y, x in zip(*np.nonzero(sb_roll))}
@@ -237,3 +237,122 @@ def test_scan_propagation_matches_roll_candidates():
     assert anchors_scan == anchors_roll
     # expected anchors: one per synthetic shape, dark polarity
     assert anchors_roll == {(0, 41, 51), (0, 81, 101), (0, 21, 11), (0, 71, 21)}
+
+
+class TestPooledTiledSweep:
+    """The production pooled/strip-tiled sweep vs the full byte-map oracle."""
+
+    @staticmethod
+    def _setup(g, cfg):
+        import jax.numpy as jnp
+
+        s = cfg.level_step if cfg.level_step > 0 else cfg.delta
+        d_idx = max(1, round(cfg.delta / s))
+        levels = list(range(0, 256 + (d_idx + 1) * s + 1, s))
+        gq = jnp.asarray(g)
+        both = jnp.stack([gq.astype(jnp.int32), 255 - gq.astype(jnp.int32)])
+        im2 = jnp.pad(both, ((0, 0), (1, 1), (1, 1)), constant_values=255)
+        return im2, levels, d_idx
+
+    @staticmethod
+    def _expected_packed(sb_full, lbits, hp, wp):
+        """Reference level collapse of the full [P, L, H, W] byte map."""
+        p, nl, h, w = sb_full.shape
+        x = np.zeros((p, nl, hp, wp), np.int64)
+        x[:, :, :h, :w] = sb_full
+        lv = np.arange(nl)[None, :, None, None]
+        return (x * (1 << lbits) + lv).max(axis=1)
+
+    def test_collapsed_output_matches_full_map(self):
+        import numpy as np
+
+        from opencv_traffic_sign_detector_tpu.ops.mser_pallas import (
+            fused_level_sweep,
+            fused_level_sweep_full,
+            packing_bits,
+            sweep_plan,
+        )
+
+        g = np.full((126, 158), 200, np.uint8)
+        g[40:60, 50:70] = 30
+        g[80:100, 100:124] = 90
+        cfg = MSERConfig(min_area=60, max_area=1200, max_variation=1.0,
+                         level_step=5, ccl_iters=16, ccl_jumps=0,
+                         max_regions=32, topk_pool=4)
+        im2, levels, d_idx = self._setup(g, cfg)
+        sb_full = np.asarray(
+            fused_level_sweep_full(im2, cfg, d_idx, len(levels),
+                                   interpret=True)
+        )
+        packed = np.asarray(
+            fused_level_sweep(im2, cfg, d_idx, len(levels), interpret=True)
+        )
+        plan = sweep_plan(im2.shape[1], im2.shape[2], cfg.topk_pool)
+        assert plan[0] == 1  # single strip at this size
+        _, lbits = packing_bits(cfg.topk_pool, len(levels))
+        exp = self._expected_packed(sb_full, lbits,
+                                    packed.shape[1], packed.shape[2])
+        np.testing.assert_array_equal(packed, exp.astype(np.int64))
+
+    def test_multi_strip_finds_candidates_in_every_strip(self, monkeypatch):
+        import numpy as np
+
+        from opencv_traffic_sign_detector_tpu.ops import mser_pallas as MP
+
+        # shrink the budget so this 158-col frame needs several strips
+        # (core 40 rows, halo 24 via _HALO patch)
+        monkeypatch.setattr(MP, "_VMEM_PX", 160 * 88)
+        monkeypatch.setattr(MP, "_HALO_MIN", 24)
+        monkeypatch.setattr(MP, "_HALO_MAX", 24)
+        g = np.full((256, 80), 200, np.uint8)
+        g[20:44, 30:54] = 30     # strip 0
+        g[120:144, 20:44] = 60   # middle strip, crosses a boundary region
+        g[210:234, 40:64] = 90   # last strip
+        cfg = MSERConfig(min_area=60, max_area=1200, max_variation=1.0,
+                         level_step=5, ccl_iters=16, ccl_jumps=0,
+                         max_regions=32, topk_pool=4)
+        im2, levels, d_idx = self._setup(g, cfg)
+        h, w = im2.shape[1], im2.shape[2]
+        plan = MP.sweep_plan(h, w, cfg.topk_pool, MP.plan_halo(cfg))
+        assert plan is not None and plan[0] >= 3, plan
+        packed = np.asarray(
+            MP.fused_level_sweep(im2, cfg, d_idx, len(levels),
+                                 interpret=True)
+        )
+        _, lbits = MP.packing_bits(cfg.topk_pool, len(levels))
+        sb = packed >> lbits  # per-pixel stability byte
+        # each synthetic square's anchor (top-left + border pad) must emit
+        for (ay, ax) in [(21, 31), (121, 21), (211, 41)]:
+            assert sb[0, ay, ax] > 0, (ay, ax)
+
+    def test_multi_strip_matches_single_strip_candidates(self, monkeypatch):
+        import numpy as np
+
+        from opencv_traffic_sign_detector_tpu.ops import mser_pallas as MP
+
+        g = np.full((256, 80), 200, np.uint8)
+        g[20:44, 30:54] = 30
+        g[120:144, 20:44] = 60
+        g[210:234, 40:64] = 90
+        cfg = MSERConfig(min_area=60, max_area=1200, max_variation=1.0,
+                         level_step=5, ccl_iters=16, ccl_jumps=0,
+                         max_regions=32, topk_pool=4)
+        im2, levels, d_idx = self._setup(g, cfg)
+        single = np.asarray(
+            MP.fused_level_sweep(im2, cfg, d_idx, len(levels),
+                                 interpret=True)
+        )
+        monkeypatch.setattr(MP, "_VMEM_PX", 160 * 88)
+        monkeypatch.setattr(MP, "_HALO_MIN", 24)
+        monkeypatch.setattr(MP, "_HALO_MAX", 24)
+        MP.fused_level_sweep.clear_cache()
+        tiled = np.asarray(
+            MP.fused_level_sweep(im2, cfg, d_idx, len(levels),
+                                 interpret=True)
+        )
+        MP.fused_level_sweep.clear_cache()
+        _, lbits = MP.packing_bits(cfg.topk_pool, len(levels))
+        sb_s = single >> lbits
+        sb_t = tiled[:, : sb_s.shape[1]] >> lbits
+        # sign-sized components fit the halo, so candidate blocks agree
+        np.testing.assert_array_equal(sb_t, sb_s)

@@ -98,3 +98,47 @@ def test_scan_flood_matches_roll_flood():
                     q.append((yy, xx))
         got = reach_scan[p] == 0
         np.testing.assert_array_equal(got, want, err_msg=f"window {p}")
+
+
+def test_flood_bbox_pallas_matches_reductions():
+    """Fused flood+bbox kernel == scan flood followed by XLA reductions."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from opencv_traffic_sign_detector_tpu.ops.pallas_prop import (
+        flood_bbox_pallas,
+        propagate_scan_pallas,
+    )
+
+    h = w = 64
+    mask = np.zeros((4, h, w), bool)
+    mask[0, 10:30, 10:30] = True
+    mask[0, 30:50, 10:16] = True
+    mask[1, 8:40, 8:40] = True
+    mask[1, 14:34, 14:34] = False
+    mask[2, 5:9, 50:60] = True
+    # window 3: seed not on the mask -> empty component
+    big = h * w + 1
+    seeds = np.full((4, h, w), big, np.int32)
+    for p, (sy, sx) in enumerate([(12, 12), (8, 8), (6, 51), (20, 20)]):
+        seeds[p, sy, sx] = 0
+    seeds_j, mask_j = jnp.asarray(seeds), jnp.asarray(mask)
+
+    out = np.asarray(flood_bbox_pallas(seeds_j, mask_j, big, 3,
+                                       interpret=True))
+    sel = np.asarray(
+        propagate_scan_pallas(seeds_j, mask_j, big, 3, interpret=True)
+    ) == 0
+    rows = np.arange(h)[:, None] + np.zeros((1, w), int)
+    cols = np.arange(w)[None, :] + np.zeros((h, 1), int)
+    for p in range(4):
+        s = sel[p]
+        exp = (
+            np.where(s, rows, big).min(),
+            np.where(s, rows, -1).max(),
+            np.where(s, cols, big).min(),
+            np.where(s, cols, -1).max(),
+            int(s.sum()),
+        )
+        assert tuple(out[p, :5]) == exp, (p, out[p, :5], exp)
+        assert (out[p, 5:] == 0).all()
