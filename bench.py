@@ -177,7 +177,13 @@ def main(argv=None) -> int:
         # time is not charged to the throughput window
         pipe.detect_frames(np.asarray(frames[: args.batch]),
                            ["w"] * args.batch)
-        n_files = len(os.listdir(test_dir)) - 1  # minus gt.txt
+        from opencv_traffic_sign_detector_tpu.data.images import (
+            list_frame_files,
+        )
+
+        # count what run_directory actually processes (extension-filtered),
+        # not raw directory entries
+        n_files = len(list_frame_files(test_dir))
         t0 = time.time()
         dets = pipe.run_directory(test_dir)
         with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=True) as f:

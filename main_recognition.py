@@ -62,6 +62,11 @@ def main(argv=None) -> int:
     parser.add_argument("--downscale", type=int, default=1,
                         help="MSER-stage downscale for negative mining "
                              "(2 = fast mode)")
+    parser.add_argument("--n_devices", type=int, default=1,
+                        help="fit the classifier with the SPMD "
+                             "sufficient-statistics trainer over an "
+                             "N-device data mesh (matches the detection "
+                             "CLI's scale-out flag)")
     args = parser.parse_args(argv)
 
     # The reference grammar defaults to ./train_jpg relative to the dataset
@@ -99,6 +104,32 @@ def main(argv=None) -> int:
 def _run(args, mser, clf_cfg) -> int:
     print(f"validating {clf_cfg.to_string()} with detector {mser.to_string()}")
     t0 = time.time()
+    mesh = None
+    if args.n_devices > 1:
+        import jax
+
+        from opencv_traffic_sign_detector_tpu.parallel.mesh import data_mesh
+
+        avail = len(jax.devices())
+        if args.n_devices > avail and os.environ.get(
+            "JAX_PLATFORMS", ""
+        ).startswith("cpu"):
+            # the container sitecustomize force-registers the TPU backend
+            # over the env var; honor the caller's explicit CPU request
+            # with a virtual device mesh (same dance as dryrun_multichip)
+            from jax.extend.backend import clear_backends
+
+            clear_backends()
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_num_cpu_devices", args.n_devices)
+            avail = len(jax.devices())
+        if args.n_devices > avail:
+            print(f"--n_devices {args.n_devices} > {avail} available "
+                  f"device(s); for CPU testing set JAX_PLATFORMS=cpu and "
+                  f"XLA_FLAGS="
+                  f"--xla_force_host_platform_device_count={args.n_devices}")
+            return 2
+        mesh = data_mesh(args.n_devices)
     with stage("train + validate classifier"):
         result = run_validation(
             args.train_path.replace("\\", "/"),
@@ -110,6 +141,7 @@ def _run(args, mser, clf_cfg) -> int:
             limit=args.limit,
             seed=args.seed,
             verbose=True,
+            mesh=mesh,
         )
     print(f"\ntraining + validation took {time.time() - t0:.1f}s")
     print("\nconfusion matrix (rows = true, cols = predicted):")

@@ -265,9 +265,15 @@ class SignClassifier:
             with open(os.path.join(path, "proposal.txt"), "w") as f:
                 f.write(self.proposal_spec)
         if self.heads:
+            present = []
             for i, h in enumerate(self.heads):
                 if h is not None:
                     h.save(os.path.join(path, f"head_{i + 1}.npz"))
+                    present.append(str(i + 1))
+            # manifest of intentionally-present heads: load() raises on a
+            # missing listed file instead of silently predicting background
+            with open(os.path.join(path, "heads.txt"), "w") as f:
+                f.write(",".join(present))
         if self.reducer:
             self.reducer.save(os.path.join(path, "reducer.npz"))
         if self.knn:
@@ -279,10 +285,22 @@ class SignClassifier:
             config = ClassifierConfig.from_string(f.read().strip())
         heads = reducer = knn = None
         if config.classifier == "LDABAYES":
+            manifest_path = os.path.join(path, "heads.txt")
+            expected = None
+            if os.path.exists(manifest_path):
+                with open(manifest_path) as f:
+                    txt = f.read().strip()
+                expected = {int(s) for s in txt.split(",")} if txt else set()
             heads = []
             for i in range(6):
                 hp = os.path.join(path, f"head_{i + 1}.npz")
-                heads.append(LDAParams.load(hp) if os.path.exists(hp) else None)
+                exists = os.path.exists(hp)
+                if expected is not None and (i + 1) in expected and not exists:
+                    raise FileNotFoundError(
+                        f"classifier artifact at {path} is corrupt: manifest "
+                        f"heads.txt lists head {i + 1} but {hp} is missing"
+                    )
+                heads.append(LDAParams.load(hp) if exists else None)
         else:
             reducer = LDAParams.load(os.path.join(path, "reducer.npz"))
             knn = KNNParams.load(os.path.join(path, "knn.npz"))
@@ -391,8 +409,14 @@ def run_validation(
     limit: int | None = None,
     seed: int = 0,
     verbose: bool = False,
+    mesh=None,
 ) -> ValidationResult:
-    """Train on (1-pct) of the per-class data, validate on the held-out pct."""
+    """Train on (1-pct) of the per-class data, validate on the held-out pct.
+
+    With ``mesh`` (a `jax.sharding.Mesh`), LDABAYES heads are fit by the
+    SPMD sufficient-statistics trainer (`parallel.train`) with descriptors
+    sharded over the mesh — the multi-chip product path.
+    """
     mser_cfg = mser_cfg or MSERConfig()
     clf_cfg = clf_cfg or ClassifierConfig()
 
@@ -412,8 +436,14 @@ def run_validation(
     val_feats = {c: compute_features(v, clf_cfg.features) for c, v in val.items()}
 
     if verbose:
-        print(f"fitting {clf_cfg.classifier} ...")
-    clf = fit_classifier(train_feats, clf_cfg)
+        print(f"fitting {clf_cfg.classifier} ..." +
+              (f" (SPMD over {mesh.devices.size} devices)" if mesh else ""))
+    if mesh is not None:
+        from ..parallel.train import fit_classifier_distributed
+
+        clf = fit_classifier_distributed(train_feats, clf_cfg, mesh)
+    else:
+        clf = fit_classifier(train_feats, clf_cfg)
 
     Xv = np.concatenate([val_feats[c] for c in range(7)])
     yv = np.concatenate([np.full(len(val_feats[c]), c) for c in range(7)])

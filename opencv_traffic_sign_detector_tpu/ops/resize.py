@@ -120,19 +120,28 @@ def crop_and_resize(
     image: jnp.ndarray,
     boxes_xyxy: jnp.ndarray,
     out_size: int,
+    exact: bool = False,
 ) -> jnp.ndarray:
     """Crop + bilinear-resize each box of one frame.
 
     image: [H, W] or [H, W, C] uint8
     boxes_xyxy: [N, 4] int32 (x1, y1, x2, y2), half-open like numpy slices
     returns: [N, out_size, out_size(, C)] uint8
+
+    Bound: the default fast path samples each box through a fixed
+    192x192 (`_CROP_WIN`) window; a box WIDER OR TALLER than 192 px gets
+    its source coordinates edge-clamped, i.e. a distorted crop.  Every
+    shipped config stays inside the bound (refine window 128 x grow 1.30
+    ~ 167), but callers that may pass larger boxes must set
+    ``exact=True`` to route all boxes through the slower per-element
+    gather path, which is correct for any box size.
     """
     squeeze = image.ndim == 2
     if squeeze:
         image = image[..., None]
     h, w = image.shape[0], image.shape[1]
 
-    if h >= _CROP_WIN and w >= _CROP_WIN:
+    if not exact and h >= _CROP_WIN and w >= _CROP_WIN:
         out = _crop_resize_window(image, boxes_xyxy, out_size)
     else:
         out = _crop_resize_gather(image, boxes_xyxy, out_size)

@@ -25,8 +25,11 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
+from jax.sharding import NamedSharding
+
 from ..config import MSERConfig
 from ..constants import NEGATIVE_IOU_MAX
+from ..models.lda import LDAParams
 from ..ops.color import bgr_to_gray
 from ..ops.geometry import filter_and_grow_boxes, iou_matrix
 from ..ops.hog import hog_descriptors
@@ -38,9 +41,9 @@ from .mesh import DATA_AXIS
 N_CLASSES = 7
 
 
-def _class_statistics(feats, labels, weights):
+def _class_statistics(feats, labels, weights, n_classes: int = N_CLASSES):
     """Per-class sufficient stats: counts [C], sums [C,D], sq [C,D,D]."""
-    onehot = (labels[:, None] == jnp.arange(N_CLASSES)[None, :]).astype(
+    onehot = (labels[:, None] == jnp.arange(n_classes)[None, :]).astype(
         feats.dtype
     ) * weights[:, None]
     counts = jnp.sum(onehot, axis=0)
@@ -57,11 +60,11 @@ def lda_from_statistics(counts, sums, sq, eps: float = 1e-6):
     degenerate shards.
     """
     n = jnp.sum(counts)
-    d = sums.shape[1]
+    c, d = sums.shape
     safe = jnp.maximum(counts, 1.0)
     means = sums / safe[:, None]
     sw = jnp.sum(sq, axis=0) - jnp.einsum("c,cd,ce->de", counts, means, means)
-    cov = sw / jnp.maximum(n - N_CLASSES, 1.0) + eps * jnp.eye(d, dtype=sums.dtype)
+    cov = sw / jnp.maximum(n - c, 1.0) + eps * jnp.eye(d, dtype=sums.dtype)
     icov_means = jnp.linalg.solve(cov, means.T).T  # [C, D]
     priors = jnp.maximum(counts, 1e-6) / jnp.maximum(n, 1.0)
     intercept = (
@@ -124,14 +127,14 @@ def distributed_train_step(mesh: Mesh, cfg: MSERConfig, grow: float = 1.15,
     return jax.jit(mapped)
 
 
-def distributed_lda_fit(mesh: Mesh):
+def distributed_lda_fit(mesh: Mesh, n_classes: int = N_CLASSES):
     """Sharded-features LDA fit: (X [N,D], y [N], w [N]) -> (coef, intercept).
 
     The feature matrix is sharded along N; statistics psum over the mesh.
     """
 
     def fit(X, y, w):
-        counts, sums, sq = _class_statistics(X, y, w)
+        counts, sums, sq = _class_statistics(X, y, w, n_classes)
         counts = jax.lax.psum(counts, DATA_AXIS)
         sums = jax.lax.psum(sums, DATA_AXIS)
         sq = jax.lax.psum(sq, DATA_AXIS)
@@ -144,3 +147,73 @@ def distributed_lda_fit(mesh: Mesh):
         out_specs=(P(), P()),
     )
     return jax.jit(mapped)
+
+
+def _pad_to_multiple(arrs, weights, k: int):
+    """Pad N-leading arrays (+ weights with 0) so N % k == 0."""
+    import numpy as np
+
+    n = len(weights)
+    pad = (-n) % k
+    if pad == 0:
+        return arrs, weights
+    out = [np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)])
+           for a in arrs]
+    w = np.concatenate([weights, np.zeros(pad, weights.dtype)])
+    return out, w
+
+
+def fit_classifier_distributed(features_by_class, config, mesh: Mesh):
+    """SPMD product-path classifier fit (LDABAYES heads) over ``mesh``.
+
+    Same training-set semantics as `models.recognizer.fit_classifier`
+    (`Reconocimiento de Objetos/source.py:551-562`: per type, positives
+    mixed with ALL mined negatives, binary labels), but each head is fit
+    from psum-reduced per-class sufficient statistics with the descriptor
+    matrix sharded across the data mesh — the distributed formulation of
+    the reference's in-RAM `LDA.fit`.  Head parity vs the svd-solver
+    `lda_fit` is asserted in tests/test_parallel.py (>= 99 % predicted
+    label agreement on real HOG descriptors).
+
+    Head LDAParams carry zero ``xbar``/``scalings``: heads only ever run
+    `lda_decision`/`lda_predict_proba` (affine coef/intercept maps), never
+    `lda_transform`.  The KNN path's reducer needs the transform and keeps
+    the host svd fit (`models/lda.py:62`).
+    """
+    import numpy as np
+
+    from ..models.recognizer import SignClassifier, fit_classifier
+
+    if config.classifier != "LDABAYES":
+        return fit_classifier(features_by_class, config)
+
+    k = mesh.devices.size
+    fit = distributed_lda_fit(mesh, n_classes=2)
+    bs = NamedSharding(mesh, P(DATA_AXIS))
+    negatives = features_by_class[0]
+    d = negatives.shape[1] if len(negatives) else 324
+    heads: list = []
+    for t in range(1, 7):
+        pos = features_by_class[t]
+        if len(pos) == 0:
+            heads.append(None)
+            continue
+        X = np.concatenate([negatives, pos]).astype(np.float32)
+        y = np.concatenate(
+            [np.zeros(len(negatives), np.int32), np.ones(len(pos), np.int32)]
+        )
+        w = np.ones(len(y), np.float32)
+        (X, y), w = _pad_to_multiple([X, y], w, k)
+        coef, intercept = fit(
+            jax.device_put(X, bs), jax.device_put(y, bs), jax.device_put(w, bs)
+        )
+        heads.append(
+            LDAParams(
+                classes=np.array([0, t]),
+                xbar=np.zeros(d, np.float32),
+                scalings=np.zeros((d, 1), np.float32),
+                coef=np.asarray(coef, np.float32),
+                intercept=np.asarray(intercept, np.float32),
+            )
+        )
+    return SignClassifier(config=config, heads=heads)

@@ -9,6 +9,10 @@ resultado-format lines to ``tests/fixtures/golden_pipeline_8f.txt``.
 Run this ONLY when an intentional quality-affecting change lands; the
 paired test (`tests/test_golden_pipeline.py`) exists so that *unintended*
 kernel regressions fail CI.
+
+The producing backend is recorded in a ``.meta`` sidecar next to the
+fixture; ``--backend native`` regenerates on whatever backend the host
+exposes (a real TPU under axon) so a TPU-path fixture can be pinned too.
 """
 
 from __future__ import annotations
@@ -17,10 +21,6 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import jax
-
-jax.config.update("jax_platforms", "cpu")
 
 GOLDEN_FRAMES = [f"{600 + i:05d}.jpg" for i in range(8)]
 DET_DIR = "/root/reference/Deteción de Objetos/test_alumnos_jpg"
@@ -69,14 +69,36 @@ def run_golden_frames():
     return dets
 
 
-def main() -> int:
+def main(argv=None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--backend",
+        choices=["cpu", "native"],
+        default="cpu",
+        help="cpu = force the CPU backend (what CI runs); native = use the "
+        "host's default backend (a real TPU under axon)",
+    )
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.backend == "cpu":
+        # set here, NOT at module import: the paired test imports this
+        # module and must not silently force the whole session onto CPU
+        jax.config.update("jax_platforms", "cpu")
+
     from opencv_traffic_sign_detector_tpu.utils.serialization import (
         write_results_file,
     )
 
     dets = run_golden_frames()
     write_results_file(OUT, dets)
-    print(f"wrote {len(dets)} detections to {OUT}")
+    with open(OUT + ".meta", "w") as fh:
+        fh.write(f"backend={jax.default_backend()}\n")
+    print(f"wrote {len(dets)} detections to {OUT} "
+          f"(backend={jax.default_backend()})")
     return 0
 
 

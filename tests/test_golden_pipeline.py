@@ -3,10 +3,14 @@
 Runs 8 real GTSDB frames through the exact shipped tuned config
 (downscale-2 sweep, 256 proposal slots, mask_corr_tol 0.55 — the config
 behind the pinned full-set parity artifacts) and matches the detection
-box set against a pinned expectation, per frame, by IoU.  Unlike the
-static-artifact scorer tests this exercises every kernel in the pipeline:
-a change that shifts detections fails here, not on the next manual full
-run.
+box set against a pinned expectation, per frame, by IoU.
+
+Scope caveat: on the CPU backend (what CI runs) `fused_sweep_ok` and
+`pallas_available_for` return False, so this pins the *XLA* sweep and the
+roll-flood refine — NOT the fused Pallas sweep / fused flood kernel the
+TPU path ships.  TPU-path regressions are caught by the opt-in TPU lane
+(``TSD_TPU_TESTS=1``, see tests/test_tpu_lane.py) and the per-round
+full-set artifact pins, not by this test.
 
 Regenerate the fixture after *intentional* quality changes with
 ``python scripts/gen_golden.py``.

@@ -141,6 +141,89 @@ def test_detection_pipeline_accepts_mesh():
         )
 
 
+def test_distributed_head_fit_parity_with_lda_fit_on_real_hog():
+    """VERDICT r2 item 3: the SPMD sufficient-statistics head fit must agree
+    with the sklearn-parity svd path (`models/lda.py:62` lda_fit) on real
+    HOG descriptors — >= 99 % predicted-label agreement per head."""
+    import os
+
+    from opencv_traffic_sign_detector_tpu.data.gt import load_ground_truth
+    from opencv_traffic_sign_detector_tpu.data.images import load_image_bgr
+    from opencv_traffic_sign_detector_tpu.models.lda import (
+        lda_fit,
+        lda_predict_proba,
+    )
+    from opencv_traffic_sign_detector_tpu.models.recognizer import (
+        SignClassifier,
+    )
+    from opencv_traffic_sign_detector_tpu.config import ClassifierConfig
+    from opencv_traffic_sign_detector_tpu.ops.color import bgr_to_gray
+    from opencv_traffic_sign_detector_tpu.ops.hog import hog_descriptors
+    from opencv_traffic_sign_detector_tpu.ops.resize import crop_and_resize
+    from opencv_traffic_sign_detector_tpu.parallel.train import (
+        fit_classifier_distributed,
+    )
+
+    train_dir = "/root/reference/Deteción de Objetos/train_jpg"
+    gt_path = os.path.join(train_dir, "gt.txt")
+    if not os.path.isfile(gt_path):
+        pytest.skip("reference GTSDB train set not available")
+
+    # positives: GT crops from the first frames; negatives: shifted crops
+    records = [r for r in load_ground_truth(gt_path, drop_unmapped=True)]
+    by_file: dict = {}
+    for r in records:
+        by_file.setdefault(r.filename, []).append(r)
+    rng = np.random.default_rng(3)
+    pos_crops, pos_types, neg_crops = [], [], []
+    for fname in sorted(by_file)[:30]:
+        img = load_image_bgr(os.path.join(train_dir, fname))
+        gray = np.asarray(bgr_to_gray(jnp.asarray(img)))
+        h, w = gray.shape
+        for r in by_file[fname]:
+            boxes = jnp.asarray([[r.x1, r.y1, r.x2, r.y2]], jnp.int32)
+            pos_crops.append(
+                np.asarray(crop_and_resize(jnp.asarray(gray), boxes, 32)[0])
+            )
+            pos_types.append(r.class_id)
+        for _ in range(4):  # background windows away from anything square
+            x = int(rng.integers(0, w - 60))
+            y = int(rng.integers(0, h - 60))
+            s = int(rng.integers(24, 60))
+            boxes = jnp.asarray([[x, y, x + s, y + s]], jnp.int32)
+            neg_crops.append(
+                np.asarray(crop_and_resize(jnp.asarray(gray), boxes, 32)[0])
+            )
+
+    pos_feats = np.asarray(hog_descriptors(jnp.asarray(np.stack(pos_crops))))
+    neg_feats = np.asarray(hog_descriptors(jnp.asarray(np.stack(neg_crops))))
+    pos_types = np.asarray(pos_types)
+    feats = {0: neg_feats}
+    for t in range(1, 7):
+        feats[t] = pos_feats[pos_types == t]
+
+    mesh = data_mesh()
+    cfg = ClassifierConfig.from_string("HOG_LDA_BAYES")
+    dist_clf = fit_classifier_distributed(feats, cfg, mesh)
+    assert isinstance(dist_clf, SignClassifier)
+
+    Xall = np.concatenate([neg_feats, pos_feats])
+    checked = 0
+    for t in range(1, 7):
+        pos = feats[t]
+        if len(pos) < 4 or dist_clf.heads[t - 1] is None:
+            continue
+        X = np.concatenate([neg_feats, pos])
+        y = np.concatenate([np.zeros(len(neg_feats)), np.full(len(pos), t)])
+        ref_head = lda_fit(X, y)
+        p_ref = np.asarray(lda_predict_proba(ref_head, Xall))
+        p_dist = np.asarray(lda_predict_proba(dist_clf.heads[t - 1], Xall))
+        agree = ((p_ref[:, 1] > 0.5) == (p_dist[:, 1] > 0.5)).mean()
+        assert agree >= 0.99, f"head {t}: agreement {agree:.3f}"
+        checked += 1
+    assert checked >= 3  # the sampled frames must cover several types
+
+
 def test_distributed_train_step_compiles_and_runs():
     """Full SPMD train step (MSER -> HOG -> psum LDA) on tiny frames."""
     mesh = data_mesh()
