@@ -67,9 +67,25 @@ def bgr_to_hsv(bgr: jnp.ndarray) -> jnp.ndarray:
     mn = jnp.minimum(jnp.minimum(b, g), r)
     diff = v - mn
 
-    sdiv = jnp.asarray(_sdiv_table())
-    hdiv = jnp.asarray(_hdiv_table())
-    s = (diff * jnp.take(sdiv, v) + (1 << (_HSV_SHIFT - 1))) >> _HSV_SHIFT
+    # The OpenCV fixed-point tables are sdiv[x] = rint((255<<12)/x) and
+    # hdiv[x] = rint((180<<12)/(6x)); computed inline as f32 divisions
+    # instead of per-pixel gathers (gathers cost ~8 ms/M on this chip and
+    # dominated the crop-stage profile).  Bit-exact: the quotients are
+    # rationals k/x whose distance from any half-integer is >= 1/(2x),
+    # while the f32 division error is <= (C/x)*2^-24 < 0.0625/x — rint
+    # can never tip the wrong way (asserted exhaustively in
+    # tests/test_ops_color.py::test_hsv_div_arithmetic_matches_tables).
+    vf = v.astype(jnp.float32)
+    df = diff.astype(jnp.float32)
+    sdiv_v = jnp.where(
+        v > 0, jnp.rint(float(255 << _HSV_SHIFT) / jnp.maximum(vf, 1.0)), 0.0
+    ).astype(jnp.int32)
+    hdiv_d = jnp.where(
+        diff > 0,
+        jnp.rint((float(180 << _HSV_SHIFT) / 6.0) / jnp.maximum(df, 1.0)),
+        0.0,
+    ).astype(jnp.int32)
+    s = (diff * sdiv_v + (1 << (_HSV_SHIFT - 1))) >> _HSV_SHIFT
 
     # Hue numerator: priority order V==R, then V==G, then V==B (OpenCV).
     is_r = v == r
@@ -77,7 +93,7 @@ def bgr_to_hsv(bgr: jnp.ndarray) -> jnp.ndarray:
     numer = jnp.where(
         is_r, g - b, jnp.where(is_g, b - r + 2 * diff, r - g + 4 * diff)
     )
-    h = (numer * jnp.take(hdiv, diff) + (1 << (_HSV_SHIFT - 1))) >> _HSV_SHIFT
+    h = (numer * hdiv_d + (1 << (_HSV_SHIFT - 1))) >> _HSV_SHIFT
     h = jnp.where(h < 0, h + 180, h)
 
     return jnp.stack(

@@ -158,3 +158,28 @@ def test_batched_shapes(random_bgr):
     assert gray.shape == (3, 64, 64)
     assert np.asarray(clahe_equalize(gray)).shape == (3, 64, 64)
     assert np.asarray(gaussian_blur_3x3(gray)).shape == (3, 64, 64)
+
+
+def test_hsv_div_arithmetic_matches_tables():
+    """The inline f32-division HSV constants must equal the OpenCV
+    fixed-point tables for every possible uint8 input (the gather-free
+    reformulation's exactness proof, ops/color.py)."""
+    import numpy as np
+
+    from opencv_traffic_sign_detector_tpu.ops.color import (
+        _HSV_SHIFT,
+        _hdiv_table,
+        _sdiv_table,
+    )
+
+    x = np.arange(256, dtype=np.float32)
+    sdiv = np.where(
+        x > 0, np.rint(float(255 << _HSV_SHIFT) / np.maximum(x, 1.0)), 0.0
+    ).astype(np.int32)
+    hdiv = np.where(
+        x > 0,
+        np.rint((float(180 << _HSV_SHIFT) / 6.0) / np.maximum(x, 1.0)),
+        0.0,
+    ).astype(np.int32)
+    np.testing.assert_array_equal(sdiv, _sdiv_table())
+    np.testing.assert_array_equal(hdiv, _hdiv_table())
