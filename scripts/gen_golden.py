@@ -94,10 +94,13 @@ def main(argv=None) -> int:
     )
 
     dets = run_golden_frames()
-    write_results_file(OUT, dets)
-    with open(OUT + ".meta", "w") as fh:
+    # the CPU fixture pins the XLA path CI runs; the native (TPU) fixture
+    # pins the fused Pallas path for the opt-in lane (tests/test_tpu_lane.py)
+    out = OUT if args.backend == "cpu" else OUT.replace(".txt", "_tpu.txt")
+    write_results_file(out, dets)
+    with open(out + ".meta", "w") as fh:
         fh.write(f"backend={jax.default_backend()}\n")
-    print(f"wrote {len(dets)} detections to {OUT} "
+    print(f"wrote {len(dets)} detections to {out} "
           f"(backend={jax.default_backend()})")
     return 0
 

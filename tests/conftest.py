@@ -7,9 +7,15 @@ exercised without TPUs.  Must be set before jax is first imported.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# Opt-in TPU lane (VERDICT r2 item 6): TSD_TPU_TESTS=1 leaves the host's
+# native backend (the axon TPU) in place so tests/test_tpu_lane.py can
+# exercise the real fused-kernel path.  Everything else forces CPU.
+TPU_LANE = bool(os.environ.get("TSD_TPU_TESTS"))
+
+if not TPU_LANE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
+if not TPU_LANE and "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
@@ -21,7 +27,8 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 # before anything initializes it.
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not TPU_LANE:
+    jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

@@ -11,5 +11,6 @@ def test_entry_compiles():
     jax.jit(fn).lower(*args).compile()
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     ge.dryrun_multichip(8)

@@ -68,6 +68,7 @@ def test_gamma_lut_matches_reference_table():
     np.testing.assert_array_equal(gamma_lut(2.0), table)
 
 
+@pytest.mark.slow
 def test_gamma_correct_exact(frame):
     cv2 = require_cv2()
     gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)

@@ -111,3 +111,88 @@ def test_gray_descriptors():
     g = np.asarray(gray_descriptors(crops))
     assert g.shape == (4, 1024)
     np.testing.assert_array_equal(g[0], crops[0].reshape(-1).astype(np.float32))
+
+
+# ---------------------------------------------------------------------------
+# Spec-derived analytic oracle (VERDICT r2 item 7).
+#
+# No third-party HOG runs in this environment (cv2 5.0 lacks HOGDescriptor,
+# no scikit-image/torchvision, zero egress), so the external anchor is the
+# *published algorithm itself*: for a uniform-gradient image every pixel
+# votes with the same magnitude and angle, the spatial weighting cancels by
+# symmetry in the center block, and the expected descriptor values follow in
+# closed form from the Dalal-Triggs / OpenCV spec (signed 9-bin soft
+# binning with centers at (k+0.5)*40deg, L2-Hys with clip 0.2).  These
+# expectations are derived with pencil and paper below - NOT by running
+# either implementation - and catch whole-class blind spots (bin offset,
+# signed-angle convention, y-axis direction, normalization order) that two
+# same-author implementations could share.
+
+_CENTER = slice(4 * 36, 5 * 36)  # block (1,1): fully interior pixels
+
+
+def _l2hys_uniform(split: dict[int, float]) -> np.ndarray:
+    """Expected [36] center-block vector when all 4 cells carry identical
+    per-bin energies proportional to ``split`` (sum 1).  Pure spec math:
+    L2 normalize (epsilons vanish as magnitude grows), clip 0.2, renorm."""
+    cell = np.zeros(9)
+    for b, w in split.items():
+        cell[b] = w
+    v = np.tile(cell, 4)  # 4 cells, identical by symmetry
+    v = v / np.linalg.norm(v)
+    v = np.minimum(v, 0.2)
+    return v / (np.linalg.norm(v) + 1e-3)
+
+
+def _ramp(slope_x: int, slope_y: int) -> np.ndarray:
+    y, x = np.mgrid[0:32, 0:32]
+    base = 16 - 31 * min(slope_x, 0) - 31 * min(slope_y, 0)
+    img = base + slope_x * x + slope_y * y
+    assert img.min() >= 0 and img.max() <= 255  # no uint8 saturation
+    return img.astype(np.uint8)
+
+
+@pytest.mark.parametrize(
+    "sx,sy,split",
+    [
+        # gradient angle 0deg: bin edge between 8 and 0 -> exact 50/50
+        (5, 0, {8: 0.5, 0: 0.5}),
+        # 180deg: (4.5 - 0.5) = bin center 4 -> single bin
+        (-5, 0, {4: 1.0}),
+        # +90deg (image values grow downward; dy = f(y+1)-f(y-1) > 0):
+        # fbin = 2.25 - 0.5 = 1.75 -> bins 1:2 at 25:75
+        (0, 5, {1: 0.25, 2: 0.75}),
+        # -90deg: fbin = -2.75 -> bins 6:7 at 75:25
+        (0, -5, {6: 0.75, 7: 0.25}),
+    ],
+)
+def test_hog_uniform_gradient_matches_spec(sx, sy, split):
+    d = np.asarray(hog_descriptors(np.stack([_ramp(sx, sy)])))[0]
+    center = d[_CENTER].reshape(2, 2, 9)
+    # support: energy only in the predicted bins, in EVERY cell of the window
+    full = d.reshape(9, 2, 2, 9)
+    hot = sorted(split)
+    cold = [b for b in range(9) if b not in split]
+    assert np.abs(full[..., cold]).max() < 1e-6
+    for b in hot:
+        assert full[..., b].min() > 0.01
+    # center block: exact closed-form values (2% covers OpenCV's norm
+    # epsilons, which shrink as gradient magnitude grows)
+    expected = _l2hys_uniform(split).reshape(2, 2, 9)
+    np.testing.assert_allclose(center, expected, rtol=0.02, atol=1e-4)
+
+
+def test_hog_slope_invariance_after_normalization():
+    """L2-Hys makes the descriptor scale-free: slopes 3 and 7 agree."""
+    d3 = np.asarray(hog_descriptors(np.stack([_ramp(3, 0)])))[0]
+    d7 = np.asarray(hog_descriptors(np.stack([_ramp(7, 0)])))[0]
+    np.testing.assert_allclose(d3, d7, rtol=0.02, atol=2e-3)
+
+
+def test_hog_single_bin_clip_value_exact():
+    """-x ramp, center block: 4 equal cells, one bin -> every pre-clip
+    entry is 1/2 > 0.2, so post-Hys values are exactly 0.2/(0.4 + 1e-3)."""
+    d = np.asarray(hog_descriptors(np.stack([_ramp(-5, 0)])))[0]
+    center = d[_CENTER].reshape(2, 2, 9)
+    want = 0.2 / (0.4 + 1e-3)
+    np.testing.assert_allclose(center[..., 4], want, rtol=0.01)

@@ -62,6 +62,7 @@ def test_area_window_respected():
         assert _iou_xywh(b, (30, 40, 80, 80)) < 0.5
 
 
+@pytest.mark.slow
 def test_recall_vs_opencv_on_real_crop(test_frames_dir):
     cv2 = require_cv2()
     img = cv2.imread(str(test_frames_dir / "00601.jpg"))
@@ -201,6 +202,7 @@ def test_extent_only_sweep_matches_on_squares():
     np.testing.assert_array_equal(sb3[0, :, 81, 101], sb5[0, :, 81, 101])
 
 
+@pytest.mark.slow
 def test_scan_propagation_matches_roll_candidates():
     """Scan-based propagation (segmented full-run resolves per axis) must
     find the same candidate set as the converged roll propagation; full

@@ -63,6 +63,7 @@ def test_distributed_lda_fit_matches_single_device():
     assert (scores.argmax(1) == y).mean() > 0.9
 
 
+@pytest.mark.slow
 def test_sharded_detect_batch_matches_single_device():
     """Multi-chip *inference*: detect_batch sharded over the mesh equals the
     single-device run bit-for-bit (no cross-frame dependence)."""
@@ -98,6 +99,7 @@ def test_sharded_detect_batch_matches_single_device():
         np.testing.assert_array_equal(np.asarray(s), np.asarray(ref))
 
 
+@pytest.mark.slow
 def test_detection_pipeline_accepts_mesh():
     """DetectionPipeline(mesh=...) routes batches through the sharded fn."""
     from opencv_traffic_sign_detector_tpu.config import PipelineConfig
@@ -141,6 +143,7 @@ def test_detection_pipeline_accepts_mesh():
         )
 
 
+@pytest.mark.slow
 def test_distributed_head_fit_parity_with_lda_fit_on_real_hog():
     """VERDICT r2 item 3: the SPMD sufficient-statistics head fit must agree
     with the sklearn-parity svd path (`models/lda.py:62` lda_fit) on real
@@ -224,6 +227,7 @@ def test_distributed_head_fit_parity_with_lda_fit_on_real_hog():
     assert checked >= 3  # the sampled frames must cover several types
 
 
+@pytest.mark.slow
 def test_distributed_train_step_compiles_and_runs():
     """Full SPMD train step (MSER -> HOG -> psum LDA) on tiny frames."""
     mesh = data_mesh()
@@ -252,3 +256,82 @@ def test_distributed_train_step_compiles_and_runs():
     assert np.isfinite(coef).all()
     assert np.isfinite(np.asarray(intercept)).all()
     assert np.asarray(counts).sum() > 0
+
+
+# ---------------------------------------------------------------------------
+# Multi-host input feeding (SURVEY.md §2.5 DCN row)
+
+
+def test_host_shard_files_disjoint_and_balanced():
+    """Every simulated host count: disjoint cover + equal batch counts."""
+    from opencv_traffic_sign_detector_tpu.parallel.multihost import (
+        host_shard_files,
+    )
+
+    files = [f"{i:05d}.jpg" for i in range(150)]
+    for pc in (1, 2, 3, 4, 7):
+        shards = [
+            host_shard_files(files, 8, process_index=p, process_count=pc)
+            for p in range(pc)
+        ]
+        lens = {len(s) for s in shards}
+        assert len(lens) == 1  # identical batch counts on every host
+        assert next(iter(lens)) % 8 == 0
+        seen = [f for s in shards for f in s]
+        # non-pad entries cover the dataset exactly once
+        per = -(-len(files) // pc)
+        core = [
+            f
+            for p, s in enumerate(shards)
+            for f in s[: max(0, min(per, len(files) - p * per))]
+        ]
+        assert core == files
+        # pads only repeat a file already in that host's shard (or file 0)
+        for s in shards:
+            assert set(s) <= set(files)
+
+
+def test_global_batch_from_local_single_process():
+    """process_count=1: local batch becomes the batch-sharded global array."""
+    from opencv_traffic_sign_detector_tpu.parallel.multihost import (
+        global_batch_from_local,
+        initialize_distributed,
+    )
+
+    assert initialize_distributed() is False  # no coordinator -> no-op
+    mesh = data_mesh()
+    local = np.arange(8 * 3 * 2, dtype=np.float32).reshape(8, 3, 2)
+    g = global_batch_from_local(mesh, local)
+    assert g.sharding == batch_sharding(mesh)
+    assert g.shape == (8 * jax.process_count(), 3, 2)
+    np.testing.assert_array_equal(np.asarray(g), local)
+
+
+def test_multihost_batched_frames_feeds_mesh(tmp_path):
+    """Host-sharded decode feeds a batch-sharded global array per step."""
+    cv2 = pytest.importorskip("cv2")
+    from opencv_traffic_sign_detector_tpu.parallel.multihost import (
+        host_shard_files,
+        multihost_batched_frames,
+    )
+
+    rng = np.random.default_rng(5)
+    files = []
+    for i in range(10):
+        img = rng.integers(0, 255, (16, 24, 3), np.uint8)
+        name = f"f{i:02d}.jpg"
+        cv2.imwrite(str(tmp_path / name), img)
+        files.append(name)
+
+    mesh = data_mesh()
+    got_names: list[str] = []
+    steps = 0
+    for frames, names in multihost_batched_frames(
+        str(tmp_path), files, local_batch_size=8, mesh=mesh
+    ):
+        assert frames.sharding == batch_sharding(mesh)
+        assert frames.shape == (8, 16, 24, 3)
+        got_names += [n for n in names if n != "__pad__"]
+        steps += 1
+    assert got_names == files
+    assert steps == len(host_shard_files(files, 8)) // 8

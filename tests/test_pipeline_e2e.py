@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from conftest import require_cv2
 
 from opencv_traffic_sign_detector_tpu.config import MSERConfig, PipelineConfig

@@ -66,6 +66,7 @@ def test_knn_device_path_matches_host():
     assert ((conf >= 0.25) & (conf <= 1.0)).all()
 
 
+@pytest.mark.slow
 def test_recognize_frames_smoke(test_frames_dir, train_frames_dir):
     """Real-data smoke: train on a few crops, recognize in a frame region."""
     cv2 = pytest.importorskip("cv2")

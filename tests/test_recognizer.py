@@ -154,6 +154,7 @@ def mini_dataset(tmp_path_factory):
     return str(root)
 
 
+@pytest.mark.slow
 def test_build_training_data_mini(mini_dataset, tmp_path):
     cache = str(tmp_path / "proposals.npz")
     cfg = MSERConfig(max_variation=1.0, max_regions=128)
@@ -197,6 +198,7 @@ def test_ldabayes_empty_class_heads(tmp_path):
     np.testing.assert_array_equal(predict_classifier(clf2, X), pred)
 
 
+@pytest.mark.slow
 def test_run_validation_end_to_end_mini(mini_dataset, tmp_path):
     """Full validation harness on the synthetic mini dataset: mining ->
     split -> descriptors -> fit -> predict -> metrics, incl. classes with

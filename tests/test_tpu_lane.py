@@ -1,0 +1,116 @@
+"""Opt-in real-TPU test lane (VERDICT r2 item 6).
+
+The CI suite forces the CPU backend, where `fused_sweep_ok` is False — so
+the shipped TPU path (fused Pallas sweep + fused flood refine) is never
+what CPU CI pins.  This lane runs on the real chip:
+
+    TSD_TPU_TESTS=1 python -m pytest tests/test_tpu_lane.py -q
+
+Requirements: exclusive chip access (NEVER run two TPU processes through
+the axon relay at once), and the reference GTSDB frames on disk.  Covers:
+
+* interpret-vs-chip equality of `fused_level_sweep` on a real frame crop —
+  the Mosaic lowering itself is the unit under test;
+* the 8-frame golden pipeline on the *fused* path against the TPU-pinned
+  fixture (``golden_pipeline_8f_tpu.txt``, regenerate with
+  ``python scripts/gen_golden.py --backend native``).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = [pytest.mark.tpu, pytest.mark.slow]
+
+if not os.environ.get("TSD_TPU_TESTS"):
+    pytest.skip(
+        "TPU lane is opt-in: set TSD_TPU_TESTS=1 (requires a real chip)",
+        allow_module_level=True,
+    )
+
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+    ),
+)
+
+DET_DIR = "/root/reference/Deteción de Objetos/test_alumnos_jpg"
+
+
+@pytest.fixture(scope="module")
+def real_frame():
+    from opencv_traffic_sign_detector_tpu.data.images import load_image_bgr
+
+    path = os.path.join(DET_DIR, "00600.jpg")
+    if not os.path.exists(path):
+        pytest.skip("reference GTSDB frames not available")
+    return load_image_bgr(path)
+
+
+def test_backend_is_tpu():
+    import jax
+
+    assert jax.default_backend() not in ("cpu",), (
+        "TPU lane running on CPU — the axon backend did not come up"
+    )
+
+
+def test_fused_sweep_chip_matches_interpret(real_frame):
+    """Mosaic-lowered sweep == interpreter, bit-for-bit, on real pixels."""
+    import jax
+    import jax.numpy as jnp
+
+    from opencv_traffic_sign_detector_tpu.config import MSERConfig
+    from opencv_traffic_sign_detector_tpu.ops.color import bgr_to_gray
+    from opencv_traffic_sign_detector_tpu.ops.mser_pallas import (
+        fused_level_sweep,
+        fused_sweep_ok,
+    )
+
+    cfg = MSERConfig(max_variation=1.0, downscale=1, max_regions=256)
+    gray = np.asarray(bgr_to_gray(jnp.asarray(real_frame)))
+    crop = gray[300:556, 500:756]  # 256x256 window with road-scene content
+    g = crop.astype(np.int32)
+    both = np.stack([g, 255 - g])
+    im2 = np.pad(both, ((0, 0), (1, 1), (1, 1)), constant_values=255)
+
+    assert fused_sweep_ok(im2.shape[1], im2.shape[2], cfg)
+    step = cfg.level_step if cfg.level_step > 0 else cfg.delta
+    d_idx = max(1, round(cfg.delta / step))
+    num_levels = len(range(0, 256 + (d_idx + 1) * step + 1, step))
+
+    x = jnp.asarray(im2)
+    chip = np.asarray(fused_level_sweep(x, cfg, d_idx, num_levels))
+    interp = np.asarray(
+        fused_level_sweep(x, cfg, d_idx, num_levels, interpret=True)
+    )
+    mismatch = (chip != interp).mean()
+    assert mismatch == 0.0, f"chip vs interpret mismatch on {mismatch:.2%} px"
+
+
+def test_golden_pipeline_fused_tpu():
+    """8 real frames through the fused TPU path vs the TPU-pinned fixture."""
+    from gen_golden import GOLDEN_FRAMES, OUT, run_golden_frames
+
+    from opencv_traffic_sign_detector_tpu.data.gt import load_results_file
+    from test_golden_pipeline import _by_file, _iou
+
+    tpu_fixture = OUT.replace(".txt", "_tpu.txt")
+    if not os.path.exists(tpu_fixture):
+        pytest.fail(
+            f"TPU golden fixture missing: {tpu_fixture} "
+            "(run scripts/gen_golden.py --backend native on the chip)"
+        )
+    pinned = _by_file(load_results_file(tpu_fixture))
+    got = _by_file(run_golden_frames())
+    for fname in GOLDEN_FRAMES:
+        p, g = pinned.get(fname, []), got.get(fname, [])
+        assert len(p) == len(g), (
+            f"{fname}: {len(g)} detections vs pinned {len(p)}"
+        )
+        for det in g:
+            best = max((_iou(det, q) for q in p), default=0.0)
+            assert best > 0.9, f"{fname}: box {det} drifted (best IoU {best:.2f})"
