@@ -73,9 +73,10 @@ def main(argv=None) -> int:
     parser.add_argument("--max_regions", type=int, default=256)
     parser.add_argument("--downscale", type=int, default=2,
                         help="MSER-stage downscale (2 = tuned fast mode)")
-    parser.add_argument("--ccl_iters", type=int, default=8)
-    parser.add_argument("--level_step", type=int, default=0,
-                        help="0 = auto (= delta)")
+    parser.add_argument("--ccl_iters", type=int, default=2)
+    parser.add_argument("--level_step", type=int, default=9,
+                        help="0 = auto (= delta); 9 = tuned (F1 0.214 / "
+                             "AP 0.064 at ~3.6x less sweep work, PARITY.md)")
     parser.add_argument("--scan_passes", type=int, default=0)
     parser.add_argument("--extent_only", type=int, default=0)
     parser.add_argument("--refine_scan", type=int, default=2)

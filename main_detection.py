@@ -97,8 +97,8 @@ def main(argv=None) -> int:
     )
 
     if args.downscale > 1:
-        mser = _dc.replace(mser, downscale=args.downscale, ccl_iters=8,
-                           ccl_jumps=0)
+        mser = _dc.replace(mser, downscale=args.downscale, ccl_iters=2,
+                           level_step=9, ccl_jumps=0)
     if args.max_regions:
         mser = _dc.replace(mser, max_regions=args.max_regions)
     cfg = PipelineConfig(mser=mser, batch_size=args.batch_size)

@@ -89,8 +89,8 @@ def main(argv=None) -> int:
     if args.downscale > 1:
         import dataclasses as _dc
 
-        mser = _dc.replace(mser, downscale=args.downscale, ccl_iters=8,
-                           ccl_jumps=0)
+        mser = _dc.replace(mser, downscale=args.downscale, ccl_iters=2,
+                           level_step=9, ccl_jumps=0)
 
     # Stage-level failure isolation, matching the reference validation
     # harness's per-stage try/except banners (`Reconocimiento de
