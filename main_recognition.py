@@ -62,6 +62,19 @@ def main(argv=None) -> int:
     parser.add_argument("--downscale", type=int, default=1,
                         help="MSER-stage downscale for negative mining "
                              "(2 = fast mode)")
+    parser.add_argument("--rec_grows", default="1.15",
+                        help="comma list of proposal grow factors; the "
+                             "union of grown proposal sets is classified "
+                             "(reference: single 1.15). Multiple factors "
+                             "raise the proposal-recall ceiling — MSER "
+                             "components are often a sign's inner region")
+    parser.add_argument("--proposal_positives", action="store_true",
+                        help="also label train-set MSER proposals with "
+                             "IoU>0.5 vs GT as positives of that class — "
+                             "matches the training distribution to the "
+                             "inference distribution (the reference trains "
+                             "on pixel-exact GT crops only, the dominant "
+                             "recall limiter; see models/recognizer.py)")
     parser.add_argument("--n_devices", type=int, default=1,
                         help="fit the classifier with the SPMD "
                              "sufficient-statistics trainer over an "
@@ -89,8 +102,12 @@ def main(argv=None) -> int:
     if args.downscale > 1:
         import dataclasses as _dc
 
-        mser = _dc.replace(mser, downscale=args.downscale, ccl_iters=2,
-                           level_step=9, ccl_jumps=0)
+        # Recognition mining favors proposal coverage over sweep speed
+        # (training is offline): full propagation + auto level step.  The
+        # detection CLI's speed-tuned (ccl_iters=2, level_step=9) sweep
+        # costs 0.05 proposal-recall ceiling here (scripts/proposal_recall).
+        mser = _dc.replace(mser, downscale=args.downscale, ccl_iters=24,
+                           ccl_jumps=0)
 
     # Stage-level failure isolation, matching the reference validation
     # harness's per-stage try/except banners (`Reconocimiento de
@@ -142,6 +159,8 @@ def _run(args, mser, clf_cfg) -> int:
             seed=args.seed,
             verbose=True,
             mesh=mesh,
+            proposal_positives=args.proposal_positives,
+            grows=tuple(float(g) for g in args.rec_grows.split(",")),
         )
     print(f"\ntraining + validation took {time.time() - t0:.1f}s")
     print("\nconfusion matrix (rows = true, cols = predicted):")
@@ -202,7 +221,10 @@ def _run_test(args, mser, result) -> None:
     test_path = args.test_path.replace("\\", "/")
     print(f"\nrunning recognizer over {test_path} ...")
     pipe = RecognitionPipeline(
-        cfg=PipelineConfig(mser=mser, no_sign_tol=args.no_sign_tol),
+        cfg=PipelineConfig(
+            mser=mser, no_sign_tol=args.no_sign_tol,
+            rec_grows=tuple(float(g) for g in args.rec_grows.split(",")),
+        ),
         classifier=result.classifier,
     )
     t0 = time.time()

@@ -168,3 +168,12 @@ class PipelineConfig:
     mask_corr_tol: float = 0.55
     # "No sign" probability tolerance for LDABAYES arbitration (reference: 0.5).
     no_sign_tol: float = 0.5
+    # Recognition proposal grow factors.  The reference grows every MSER
+    # proposal by exactly 1.15 (`Reconocimiento de Objetos/source.py:54`);
+    # passing several factors proposes the union of the grown sets —
+    # MSER components are often a sign's *inner* region (the disc inside a
+    # red rim), so a single small grow under-covers the GT box and caps
+    # proposal recall (measured ceiling 0.62 @1.15 vs 0.66 @1.30 on the
+    # GTSDB test set; see scripts/proposal_recall.py).  Downstream dedup
+    # merges the overlaps.
+    rec_grows: tuple[float, ...] = (1.15,)

@@ -99,7 +99,10 @@ def recognize_frame(bgr: jnp.ndarray, clf_arrays, cfg: PipelineConfig,
     """One frame -> (boxes [D,4] xyxy, labels [D], scores [D], valid [D])."""
     gray = enhance_contrast(bgr)
     props, pvalid = mser_regions(gray, cfg.mser)
-    boxes, keep = filter_and_grow_boxes(props, pvalid, RECOG_GROW)
+    grows = cfg.rec_grows or (RECOG_GROW,)
+    per_grow = [filter_and_grow_boxes(props, pvalid, g) for g in grows]
+    boxes = jnp.concatenate([b for b, _ in per_grow])
+    keep = jnp.concatenate([k for _, k in per_grow])
     crops = crop_and_resize(bgr, boxes, RECOG_CROP)
     crops, boxes, keep = dedup_by_histogram(crops, boxes, keep, DEDUP_HIST_TOL)
     crops, boxes, keep = dedup_by_coords(crops, boxes, keep, DEDUP_COORD_TOL)

@@ -55,11 +55,19 @@ PROPOSAL_CACHE_VERSION = 1
 # Proposal extraction (the REC-variant detector) + cache artifact
 # ---------------------------------------------------------------------------
 
-def _propose_frame(bgr: jnp.ndarray, cfg: MSERConfig):
-    """One frame -> (boxes [N,4] xyxy, crops_gray [N,32,32], valid [N])."""
+def _propose_frame(bgr: jnp.ndarray, cfg: MSERConfig,
+                   grows: tuple[float, ...] = (RECOG_GROW,)):
+    """One frame -> (boxes [N,4] xyxy, crops_gray [N,32,32], valid [N]).
+
+    ``grows``: union of the per-factor grown proposal sets (see
+    `config.PipelineConfig.rec_grows`); the reference uses the single
+    factor 1.15 (`Reconocimiento de Objetos/source.py:54`).
+    """
     gray = enhance_contrast(bgr)
     props, pvalid = mser_regions(gray, cfg)
-    boxes, keep = filter_and_grow_boxes(props, pvalid, RECOG_GROW)
+    per_grow = [filter_and_grow_boxes(props, pvalid, g) for g in grows]
+    boxes = jnp.concatenate([b for b, _ in per_grow])
+    keep = jnp.concatenate([k for _, k in per_grow])
     crops = crop_and_resize(bgr, boxes, RECOG_CROP)
     crops, boxes, keep = dedup_by_histogram(crops, boxes, keep, DEDUP_HIST_TOL)
     crops, boxes, keep = dedup_by_coords(crops, boxes, keep, DEDUP_COORD_TOL)
@@ -71,8 +79,8 @@ import functools
 
 
 @functools.lru_cache(maxsize=8)
-def _propose_batch_fn(cfg: MSERConfig):
-    return jax.jit(jax.vmap(lambda f: _propose_frame(f, cfg)))
+def _propose_batch_fn(cfg: MSERConfig, grows: tuple[float, ...]):
+    return jax.jit(jax.vmap(lambda f: _propose_frame(f, cfg, grows)))
 
 
 def extract_train_proposals(
@@ -81,6 +89,7 @@ def extract_train_proposals(
     cache_path: str | None = None,
     batch_size: int = 8,
     limit: int | None = None,
+    grows: tuple[float, ...] = (RECOG_GROW,),
 ) -> dict[str, tuple[np.ndarray, np.ndarray]]:
     """MSER proposals for every train frame: {fname: (boxes, gray_crops)}.
 
@@ -92,7 +101,9 @@ def extract_train_proposals(
     files = list_frame_files(train_dir)
     if limit is not None:
         files = files[:limit]
-    tag = f"v{PROPOSAL_CACHE_VERSION}:{cfg.to_string()}:{len(files)}"
+    grow_tag = ",".join(f"{g:g}" for g in grows)
+    tag = (f"v{PROPOSAL_CACHE_VERSION}:{cfg.to_string()}:"
+           f"ds{cfg.downscale}:g{grow_tag}:{len(files)}")
 
     if cache_path and os.path.exists(cache_path):
         z = np.load(cache_path, allow_pickle=False)
@@ -112,7 +123,7 @@ def extract_train_proposals(
         pad = batch_size - len(chunk)
         if pad:
             frames = np.concatenate([frames, frames[-1:].repeat(pad, 0)])
-        boxes, crops, valid = _propose_batch_fn(cfg)(jnp.asarray(frames))
+        boxes, crops, valid = _propose_batch_fn(cfg, grows)(jnp.asarray(frames))
         boxes, crops, valid = np.asarray(boxes), np.asarray(crops), np.asarray(valid)
         for i, f in enumerate(chunk):
             v = valid[i]
@@ -139,10 +150,23 @@ def build_training_data(
     cache_path: str | None = None,
     limit: int | None = None,
     seed: int = 0,
+    proposal_positives: bool = False,
+    grows: tuple[float, ...] = (RECOG_GROW,),
 ) -> dict[int, np.ndarray]:
     """Class-keyed crops {0..6: [M, 32, 32] uint8 gray}, per-class shuffled.
 
     Class 0 = mined negatives, classes 1..6 = GT positives.
+
+    ``proposal_positives=True`` additionally labels train-set MSER
+    proposals with IoU > 0.5 against a GT box as positives of that box's
+    class.  The reference drops these crops entirely
+    (`Reconocimiento de Objetos/source.py:415-424` keeps only IoU<=0.5 as
+    negatives), so its classifier never sees an inference-style positive —
+    grown, mis-centered, context-padded — only pixel-exact GT crops.  That
+    train/test distribution gap is the dominant recall limiter measured in
+    round 3 (test R 0.18 with a proposal-coverage ceiling of 0.62);
+    matching the training distribution to the inference distribution is
+    the framework's (non-parity) fix.
     """
     gt_path = gt_path or os.path.join(train_dir, "gt.txt")
     mser_cfg = mser_cfg or MSERConfig()
@@ -192,7 +216,7 @@ def build_training_data(
 
     # negatives: proposals with max IoU <= 0.5 against same-frame GT
     proposals = extract_train_proposals(
-        train_dir, mser_cfg, cache_path=cache_path, limit=limit
+        train_dir, mser_cfg, cache_path=cache_path, limit=limit, grows=grows
     )
     for fname, (boxes, crops) in proposals.items():
         if len(boxes) == 0:
@@ -201,7 +225,13 @@ def build_training_data(
         if gts:
             gt_boxes = np.array([[g.x1, g.y1, g.x2, g.y2] for g in gts], np.int32)
             ious = np.asarray(iou_matrix(boxes, gt_boxes))
-            neg_mask = ious.max(axis=1) <= NEGATIVE_IOU_MAX
+            best = ious.max(axis=1)
+            neg_mask = best <= NEGATIVE_IOU_MAX
+            if proposal_positives:
+                pos_mask = best > NEGATIVE_IOU_MAX
+                pos_cls = np.array([gts[j].class_id for j in ious.argmax(axis=1)])
+                for c, cls in zip(crops[pos_mask], pos_cls[pos_mask]):
+                    data[int(cls)].append(c)
         else:
             neg_mask = np.ones(len(boxes), bool)
         for c in crops[neg_mask]:
@@ -410,6 +440,8 @@ def run_validation(
     seed: int = 0,
     verbose: bool = False,
     mesh=None,
+    proposal_positives: bool = False,
+    grows: tuple[float, ...] = (RECOG_GROW,),
 ) -> ValidationResult:
     """Train on (1-pct) of the per-class data, validate on the held-out pct.
 
@@ -424,7 +456,7 @@ def run_validation(
         print("building training data (positives + mined negatives)...")
     data = build_training_data(
         train_dir, mser_cfg=mser_cfg, cache_path=cache_path, limit=limit,
-        seed=seed,
+        seed=seed, proposal_positives=proposal_positives, grows=grows,
     )
     train, val = split_validation(data, validation_pct)
 
@@ -453,7 +485,8 @@ def run_validation(
 
     clf.proposal_spec = (
         f"{mser_cfg.to_string()};max_regions={mser_cfg.max_regions};"
-        f"downscale={mser_cfg.downscale}"
+        f"downscale={mser_cfg.downscale};"
+        f"grows={','.join(f'{g:g}' for g in grows)}"
     )
     y_pred = predict_classifier(clf, Xv, no_sign_tol)
     labels = list(range(7))

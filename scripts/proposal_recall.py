@@ -33,7 +33,8 @@ def main(argv=None) -> int:
     ap.add_argument("--delta", type=int, default=7)
     ap.add_argument("--min_area", type=int, default=200)
     ap.add_argument("--max_area", type=int, default=2000)
-    ap.add_argument("--grow", type=float, default=1.15)
+    ap.add_argument("--grow", default="1.15",
+                    help="comma list: union of per-grow proposal sets")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--limit", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
@@ -78,13 +79,16 @@ def main(argv=None) -> int:
     if args.limit:
         files = files[: args.limit]
 
+    grows = tuple(float(g) for g in args.grow.split(","))
+
     @jax.jit
     def propose(frames):
         def one(f):
             gray = enhance_contrast(f)
             props, pvalid = mser_regions_batch(gray[None], cfg)
-            boxes, keep = filter_and_grow_boxes(props[0], pvalid[0], args.grow)
-            return boxes, keep
+            bs, ks = zip(*(filter_and_grow_boxes(props[0], pvalid[0], g)
+                           for g in grows))
+            return jnp.concatenate(bs), jnp.concatenate(ks)
 
         return jax.vmap(one)(frames)
 

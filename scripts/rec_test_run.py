@@ -21,6 +21,9 @@ def main():
     parser.add_argument("--downscale", type=int, default=2)
     parser.add_argument("--batch", type=int, default=4)
     parser.add_argument("--no_sign_tol", type=float, default=0.5)
+    parser.add_argument("--rec_grows", default="1.15",
+                        help="comma list of proposal grow factors")
+    parser.add_argument("--max_regions", type=int, default=384)
     parser.add_argument("--out", default="/tmp/rec_resultado.txt")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
@@ -52,13 +55,15 @@ def main():
     # NB: keep the proposal distribution matched to training (max_regions
     # 512, level_step = delta): a tighter tuned detector config starves the
     # classifier of candidates (measured: AP drops 0.141 -> 0.048).
-    mser = MSERConfig(max_variation=1.0, max_regions=512,
+    mser = MSERConfig(max_variation=1.0, max_regions=args.max_regions,
                       downscale=args.downscale,
                       ccl_iters=24 if args.downscale > 1 else 16,
                       ccl_jumps=0 if args.downscale > 1 else 1)
     pipe = RecognitionPipeline(
         cfg=PipelineConfig(mser=mser, batch_size=args.batch,
-                           no_sign_tol=args.no_sign_tol),
+                           no_sign_tol=args.no_sign_tol,
+                           rec_grows=tuple(float(g) for g in
+                                           args.rec_grows.split(","))),
         classifier=clf,
     )
     t0 = time.time()
