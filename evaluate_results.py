@@ -82,6 +82,11 @@ def main(argv=None) -> int:
     parser.add_argument("--no_golden", action="store_true",
                         help="skip the default instructor golden-file overlay")
     parser.add_argument("--plot", default=None, help="write PR curve PNG here")
+    parser.add_argument("--draw_dir", default=None,
+                        help="write per-frame overlay images here: GT boxes "
+                             "green, scored detections red (the reference "
+                             "scorer's BoundingBox drawing, `Reconocimiento "
+                             "de Objetos/evaluar_resultados.py:36-49`)")
     args = parser.parse_args(argv)
 
     gt = load_ground_truth(os.path.join(args.test_path, "gt.txt"))
@@ -116,7 +121,46 @@ def main(argv=None) -> int:
         plt.title("Precision-Recall")
         plt.savefig(args.plot, dpi=120)
         print(f"PR plot written to {args.plot}")
+
+    if args.draw_dir:
+        draw_overlays(args.test_path, args.detections_file, gt, args.draw_dir)
     return 0
+
+
+def draw_overlays(test_path: str, dets_path: str, gt, out_dir: str) -> None:
+    """GT (green) + detection (red) rectangles per frame, saved to out_dir."""
+    from opencv_traffic_sign_detector_tpu.data.gt import boxes_by_file
+    from opencv_traffic_sign_detector_tpu.data.images import (
+        list_frame_files,
+        load_image_bgr,
+    )
+    from opencv_traffic_sign_detector_tpu.utils.annotate import (
+        draw_boxes_bgr,
+        save_image_bgr,
+    )
+
+    dets = boxes_by_file(load_results_file(dets_path))
+    gts = boxes_by_file(gt)
+    os.makedirs(out_dir, exist_ok=True)
+    n = 0
+    for fname in list_frame_files(test_path):
+        d = dets.get(fname, [])
+        g = gts.get(fname, [])
+        if not d and not g:
+            continue
+        img = load_image_bgr(os.path.join(test_path, fname))
+        img = draw_boxes_bgr(
+            img, [(b.x1, b.y1, b.x2, b.y2) for b in g], color=(0, 255, 0),
+            thickness=2,
+        )
+        img = draw_boxes_bgr(
+            img, [(b.x1, b.y1, b.x2, b.y2) for b in d], color=(0, 0, 255),
+            thickness=1,
+        )
+        save_image_bgr(os.path.join(out_dir, fname.replace(".jpg", ".png")),
+                       img)
+        n += 1
+    print(f"{n} overlay frames written to {out_dir}/")
 
 
 if __name__ == "__main__":

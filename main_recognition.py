@@ -62,6 +62,12 @@ def main(argv=None) -> int:
     parser.add_argument("--downscale", type=int, default=1,
                         help="MSER-stage downscale for negative mining "
                              "(2 = fast mode)")
+    parser.add_argument("--sweep_configs", action="store_true",
+                        help="validate all four classifier configs "
+                             "(HOG/GRAY x LDABAYES/KNN) and print an "
+                             "accuracy summary — the multi-config loop the "
+                             "reference ships commented out "
+                             "(`Reconocimiento de Objetos/main.py:96-103`)")
     parser.add_argument("--rec_grows", default="1.15",
                         help="comma list of proposal grow factors; the "
                              "union of grown proposal sets is classified "
@@ -119,6 +125,8 @@ def main(argv=None) -> int:
 
 
 def _run(args, mser, clf_cfg) -> int:
+    if args.sweep_configs:
+        return _run_sweep(args, mser)
     print(f"validating {clf_cfg.to_string()} with detector {mser.to_string()}")
     t0 = time.time()
     mesh = None
@@ -181,6 +189,38 @@ def _run(args, mser, clf_cfg) -> int:
     if args.run_test:
         with stage("recognizer test-set inference"):
             _run_test(args, mser, result)
+    return 0
+
+
+def _run_sweep(args, mser) -> int:
+    """Validate every classifier config; the reference's commented-out
+    multi-config loop (`Reconocimiento de Objetos/main.py:96-103`)."""
+    grows = tuple(float(g) for g in args.rec_grows.split(","))
+    rows = []
+    for spec in ("HOG_LDA_BAYES", "HOG_LDA_KNN",
+                 "GRAY_LDA_BAYES", "GRAY_LDA_KNN"):
+        cfg = ClassifierConfig.from_string(spec)
+        print(f"\n=== {spec} ===")
+        t0 = time.time()
+        with stage(f"train + validate {spec}"):
+            result = run_validation(
+                args.train_path.replace("\\", "/"),
+                mser_cfg=mser,
+                clf_cfg=cfg,
+                validation_pct=args.validation_pct,
+                no_sign_tol=args.no_sign_tol,
+                cache_path=args.cache,  # proposal cache shared across configs
+                limit=args.limit,
+                seed=args.seed,
+                verbose=False,
+                proposal_positives=args.proposal_positives,
+                grows=grows,
+            )
+        rows.append((spec, result.accuracy, time.time() - t0))
+        print(result.report)
+    print("\n== summary (validation accuracy) ==")
+    for spec, acc, dt in rows:
+        print(f"  {spec:<16} {acc:.4f}  ({dt:.1f}s)")
     return 0
 
 

@@ -65,6 +65,23 @@ def test_full_dataset_parity_artifact(fixtures_dir):
     assert len(ours) > 500
 
 
+def test_recognition_artifact_r3(fixtures_dir):
+    """Round-3 regression pin: recognition test-set artifact trained with
+    proposal-matched positives + the (1.15, 1.3) grow union
+    (HOG_LDA_LDABAYES, ds=2, iters=24 mining).  Measured at pin time:
+    P 0.91 / R 0.35 / F1 0.51, AP 0.299 — the reference ships this path
+    disabled; quality bar is the instructor's práctica-2 file
+    (P 0.74 / R 0.74)."""
+    ours = load_results_file(
+        str(fixtures_dir / "ours_rec_resultado_tpu_r3.txt")
+    )
+    stats = compute_detection_statistics(ours, str(fixtures_dir / "gt_test.txt"))
+    assert stats.total.f1 >= 0.50
+    assert stats.total.precision >= 0.85
+    assert stats.total.recall >= 0.33
+    assert stats.total.correct >= 60
+
+
 def test_full_dataset_parity_artifact_r2(fixtures_dir):
     """Round-2 regression pin: the shipped tuned config's full-run artifact
     (auto step 7, iters 8, scan refine) beats the reference on F1/P/R under

@@ -169,6 +169,31 @@ def test_build_training_data_mini(mini_dataset, tmp_path):
     np.testing.assert_array_equal(data[0], data2[0])
 
 
+@pytest.mark.slow
+def test_build_training_data_proposal_positives_and_grows(mini_dataset, tmp_path):
+    """proposal_positives labels IoU>0.5 proposals with the GT class, and
+    the cache tag distinguishes grow sets (no silent stale reuse)."""
+    cache = str(tmp_path / "proposals_pp.npz")
+    cfg = MSERConfig(max_variation=1.0, max_regions=128)
+    base = build_training_data(mini_dataset, mser_cfg=cfg, cache_path=cache)
+    pp = build_training_data(
+        mini_dataset, mser_cfg=cfg, cache_path=cache,
+        proposal_positives=True, grows=(1.15, 1.3),
+    )
+    # the synthetic sign square is a clean MSER component: the grown
+    # proposal overlaps GT with IoU>0.5, so class 3 gains positives beyond
+    # the two pixel-exact GT crops
+    assert len(pp[3]) > len(base[3])
+    assert pp[3].shape[1:] == (32, 32)
+    # proposal-positives must never leak into the negatives
+    assert len(pp[0]) <= len(base[0]) * 2 + 8
+    # different grow set -> different cache tag -> regeneration, not reuse
+    import numpy as _np
+
+    z = _np.load(cache, allow_pickle=False)
+    assert "g1.15,1.3" in str(z["tag"])
+
+
 def test_compute_features_shapes():
     crops = np.random.default_rng(5).integers(0, 256, (6, 32, 32), np.uint8)
     assert compute_features(crops, "HOG").shape == (6, 324)
