@@ -70,7 +70,7 @@ def main(argv=None) -> int:
     parser.add_argument("--frames", type=int, default=32)
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--size", choices=["gtsdb", "1080p"], default="gtsdb")
-    parser.add_argument("--max_regions", type=int, default=256)
+    parser.add_argument("--max_regions", type=int, default=128)
     parser.add_argument("--downscale", type=int, default=2,
                         help="MSER-stage downscale (2 = tuned fast mode)")
     parser.add_argument("--ccl_iters", type=int, default=2)

@@ -71,7 +71,7 @@ def main(argv=None) -> int:
                         help="MSER-stage downscale (2 = tuned fast mode, the "
                              "shipped quality/speed winner; 1 = native-res "
                              "sweep)")
-    parser.add_argument("--max_regions", type=int, default=256,
+    parser.add_argument("--max_regions", type=int, default=128,
                         help="proposal capacity per frame (256 = tuned "
                              "default, beats larger caps on F1/AP)")
     parser.add_argument("--n_devices", type=int, default=0,

@@ -259,12 +259,25 @@ def split_validation(
 
 
 def compute_features(crops: np.ndarray, features: str) -> np.ndarray:
-    """[M, 32, 32] uint8 -> [M, D] float32 (HOG 324-d or GRAY 1024-d)."""
+    """[M, 32, 32] uint8 -> [M, D] float32 (HOG 324-d or GRAY 1024-d).
+
+    The batch axis is zero-padded up to the next power of two (min 64)
+    before the device call: per-class crop counts are all distinct, and an
+    exact-shape jit would recompile the descriptor graph for every one of
+    them (~14 XLA compiles per training run, minutes of wall clock for
+    milliseconds of compute).
+    """
     if len(crops) == 0:
         d = 324 if features == "HOG" else RECOG_CROP * RECOG_CROP
         return np.zeros((0, d), np.float32)
     fn = hog_descriptors if features == "HOG" else gray_descriptors
-    return np.asarray(fn(jnp.asarray(crops)))
+    m = len(crops)
+    cap = max(64, 1 << (m - 1).bit_length())
+    if cap != m:
+        crops = np.concatenate(
+            [crops, np.zeros((cap - m,) + crops.shape[1:], crops.dtype)]
+        )
+    return np.asarray(fn(jnp.asarray(crops)))[:m]
 
 
 # ---------------------------------------------------------------------------

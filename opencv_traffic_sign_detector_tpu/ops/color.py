@@ -162,7 +162,18 @@ def gamma_correct(img: jnp.ndarray, gamma: float = 2.0) -> jnp.ndarray:
     this TPU; the monotone-LUT threshold count is pure VPU compares that
     XLA fuses into one pass (bit-exact vs the table by construction,
     asserted in tests/test_ops_color.py).
+
+    For the shipped gamma=2 the table is ``lut[i] = trunc(255*(i/255)^0.5)
+    = floor(sqrt(255*i))``, which one f32 sqrt evaluates exactly: IEEE
+    sqrt is correctly rounded, and the nearest integer boundary is >= 1
+    away from ``255*i`` unless ``255*i`` is itself a perfect square
+    (i = 0, 255 — both exact), so the floor can never flip.  One VPU op
+    per pixel instead of 255 compares (~11 ms -> <1 ms per 16-frame
+    batch); bit-exactness vs the table is asserted in tests.
     """
+    if float(gamma) == 2.0:
+        y = jnp.sqrt(img.astype(jnp.float32) * 255.0)
+        return y.astype(jnp.uint8)  # f32->u8 cast truncates (floor, x >= 0)
     t = jnp.asarray(_gamma_thresholds(float(gamma)))  # [255]
     x = img.astype(jnp.int16)[..., None]
     out = jnp.sum(

@@ -68,6 +68,18 @@ def test_gamma_lut_matches_reference_table():
     np.testing.assert_array_equal(gamma_lut(2.0), table)
 
 
+def test_gamma_correct_all_256_inputs_match_table():
+    """The gamma=2 sqrt fast path must be bit-exact vs the LUT on every
+    possible uint8 input (and the generic threshold path on another gamma)."""
+    x = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    np.testing.assert_array_equal(
+        np.asarray(gamma_correct(x, 2.0)), gamma_lut(2.0)[x]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(gamma_correct(x, 1.5)), gamma_lut(1.5)[x]
+    )
+
+
 @pytest.mark.slow
 def test_gamma_correct_exact(frame):
     cv2 = require_cv2()
