@@ -67,8 +67,8 @@ def _load_frames(n: int, size: str) -> np.ndarray:
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--frames", type=int, default=32)
-    parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--frames", type=int, default=64)
+    parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--size", choices=["gtsdb", "1080p"], default="gtsdb")
     parser.add_argument("--max_regions", type=int, default=128)
     parser.add_argument("--downscale", type=int, default=2,

@@ -61,7 +61,7 @@ def main(argv=None) -> int:
                         help="Detector string (default: MSER_7_200_2000_1)")
     parser.add_argument("--train_path", default="train_jpg")
     parser.add_argument("--test_path", default="test_alumnos_jpg")
-    parser.add_argument("--batch_size", type=int, default=16)
+    parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--out", default="resultado.txt")
     parser.add_argument("--out_imgs", default="resultado_imgs")
     parser.add_argument("--no-images", action="store_true",
