@@ -168,6 +168,11 @@ class PipelineConfig:
     mask_corr_tol: float = 0.55
     # "No sign" probability tolerance for LDABAYES arbitration (reference: 0.5).
     no_sign_tol: float = 0.5
+    # Sign-assertion margin for LDABAYES arbitration (framework knob; 0 =
+    # reference parity).  A head asserts "sign" at p_sign >= 0.5 - margin,
+    # trading precision for recall — the reference's tol dial is inert
+    # below 0.5 (see models/recognizer.arbitrate_lda_heads).
+    sign_margin: float = 0.0
     # Recognition proposal grow factors.  The reference grows every MSER
     # proposal by exactly 1.15 (`Reconocimiento de Objetos/source.py:54`);
     # passing several factors proposes the union of the grown sets —

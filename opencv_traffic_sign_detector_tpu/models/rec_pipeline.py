@@ -77,6 +77,7 @@ def classify_crops_lda(
     head_coefs: jnp.ndarray,
     head_ints: jnp.ndarray,
     tol: float,
+    sign_margin: float = 0.0,
 ):
     """[N, D] features -> (labels [N] 0..6, confidence [N]).
 
@@ -87,9 +88,9 @@ def classify_crops_lda(
     scores = jnp.einsum("nd,hcd->hnc", feats, head_coefs) + head_ints[:, None, :]
     p1 = jax.nn.sigmoid(scores[..., 1] - scores[..., 0])  # [6, N]
     probs = jnp.stack([1.0 - p1, p1], axis=-1)  # [6, N, 2]
-    labels = arbitrate_lda_heads(probs, tol)
+    labels = arbitrate_lda_heads(probs, tol, sign_margin)
     conf = jnp.max(jnp.maximum(probs[..., 0], probs[..., 1]), axis=0)
-    sign_conf = jnp.max(jnp.where(p1 >= 0.5, p1, 0.0), axis=0)
+    sign_conf = jnp.max(jnp.where(p1 >= 0.5 - sign_margin, p1, 0.0), axis=0)
     conf = jnp.where(labels > 0, sign_conf, conf)
     return labels, conf
 
@@ -111,7 +112,7 @@ def recognize_frame(bgr: jnp.ndarray, clf_arrays, cfg: PipelineConfig,
     if clf_kind == "LDABAYES":
         head_coefs, head_ints = clf_arrays
         labels, conf = classify_crops_lda(feats, head_coefs, head_ints,
-                                          cfg.no_sign_tol)
+                                          cfg.no_sign_tol, cfg.sign_margin)
     else:
         xbar, scalings, tx, ty, classes = clf_arrays
         labels, conf = classify_crops_knn(feats, xbar, scalings, tx, ty,

@@ -387,7 +387,9 @@ def fit_classifier(
     return SignClassifier(config=config, reducer=reducer, knn=knn)
 
 
-def arbitrate_lda_heads(probs: jnp.ndarray, tol: float) -> jnp.ndarray:
+def arbitrate_lda_heads(
+    probs: jnp.ndarray, tol: float, sign_margin: float = 0.0
+) -> jnp.ndarray:
     """The reference's extractBestPredictions rule, vectorized.
 
     probs: [6, N, 2] per-head (background, sign) probabilities.
@@ -395,12 +397,23 @@ def arbitrate_lda_heads(probs: jnp.ndarray, tol: float) -> jnp.ndarray:
     type).  If no head asserts a sign with prob > tol -> class 0; otherwise
     the sign-asserting head with the highest confidence wins (first head on
     ties, like Python max).  (`Reconocimiento de Objetos/source.py:627-641`.)
+
+    ``sign_margin`` (framework knob, no reference equivalent; default 0 =
+    parity): a head asserts "sign" when ``p_sign >= 0.5 - margin`` instead
+    of ``p_sign >= p_background``.  The reference's tol dial is inert below
+    0.5 (head confidence = max(p0, p1) >= 0.5 by construction), so this is
+    the only way to trade precision for recall on the sign side.
     """
     no_sign_p = probs[..., 0]  # [6, N]
     sign_p = probs[..., 1]
-    head_says_sign = sign_p >= no_sign_p  # ties -> sign (p0 > p1 is "no")
-    head_conf = jnp.maximum(no_sign_p, sign_p)
-    asserted = head_says_sign & (head_conf > tol)
+    if sign_margin > 0.0:
+        head_says_sign = sign_p >= 0.5 - sign_margin
+        head_conf = jnp.where(head_says_sign, sign_p, no_sign_p)
+        asserted = head_says_sign & (head_conf > tol - sign_margin)
+    else:
+        head_says_sign = sign_p >= no_sign_p  # ties -> sign (p0 > p1 is "no")
+        head_conf = jnp.maximum(no_sign_p, sign_p)
+        asserted = head_says_sign & (head_conf > tol)
     any_sign = jnp.any(asserted, axis=0)  # [N]
     score = jnp.where(head_says_sign, head_conf, -jnp.inf)  # [6, N]
     best_head = jnp.argmax(score, axis=0)  # [N]

@@ -23,6 +23,8 @@ def main():
     parser.add_argument("--no_sign_tol", type=float, default=0.5)
     parser.add_argument("--rec_grows", default="1.15",
                         help="comma list of proposal grow factors")
+    parser.add_argument("--sign_margin", type=float, default=0.0,
+                        help="accept p_sign >= 0.5 - margin (P/R dial)")
     parser.add_argument("--max_regions", type=int, default=384)
     parser.add_argument("--out", default="/tmp/rec_resultado.txt")
     parser.add_argument("--cpu", action="store_true")
@@ -62,6 +64,7 @@ def main():
     pipe = RecognitionPipeline(
         cfg=PipelineConfig(mser=mser, batch_size=args.batch,
                            no_sign_tol=args.no_sign_tol,
+                           sign_margin=args.sign_margin,
                            rec_grows=tuple(float(g) for g in
                                            args.rec_grows.split(","))),
         classifier=clf,

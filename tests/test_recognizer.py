@@ -94,6 +94,24 @@ def test_arbitration_rules():
     assert out.tolist() == [0, 3, 5, 0]
 
 
+def test_arbitration_sign_margin_dial():
+    """sign_margin=0 is exact parity; margin>0 lets p_sign in
+    [0.5-margin, 0.5) assert a sign (the P/R dial the reference lacks)."""
+    probs = np.zeros((6, 2, 2), np.float32)
+    # instance 0: head 3 at p_sign 0.45 — background at parity, sign
+    # with margin 0.1
+    probs[:, 0] = (0.9, 0.1)
+    probs[3, 0] = (0.55, 0.45)
+    # instance 1: clear background everywhere — margin must not flip it
+    probs[:, 1] = (0.95, 0.05)
+    assert np.asarray(
+        arbitrate_lda_heads(probs, tol=0.5)
+    ).tolist() == [0, 0]
+    assert np.asarray(
+        arbitrate_lda_heads(probs, tol=0.5, sign_margin=0.1)
+    ).tolist() == [4, 0]
+
+
 def test_arbitration_low_conf_sign_can_win_via_other_head():
     # reference quirk: once any head crosses tol, *all* sign-asserting heads
     # compete by confidence — even ones below tol
