@@ -64,3 +64,23 @@ def train_frames_dir() -> pathlib.Path:
 def require_cv2():
     """Oracle-only dependency: several kernel tests compare against OpenCV."""
     return pytest.importorskip("cv2")
+
+
+@pytest.fixture(scope="session")
+def mini_train_dir(tmp_path_factory) -> str:
+    """Tiny synthetic train dir (2 frames + gt.txt) for CLI-level tests."""
+    import numpy as np
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("mini_train_cli")
+    rng = np.random.default_rng(7)
+    gt_lines = []
+    for i in range(2):
+        img = rng.integers(90, 140, (256, 256, 3), np.uint8)
+        x, y = 40 + 60 * i, 80
+        img[y : y + 30, x : x + 30] = (20, 20, 180)  # reddish sign square
+        img[190:218, 170:198] = (25, 25, 25)  # negative-mining decoy
+        Image.fromarray(img[..., ::-1]).save(root / f"{i:05d}.jpg")
+        gt_lines.append(f"{i:05d}.ppm;{x};{y};{x + 30};{y + 30};14")
+    (root / "gt.txt").write_text("\n".join(gt_lines) + "\n")
+    return str(root)

@@ -63,3 +63,39 @@ def test_detection_cli_stage_failure_is_isolated(tmp_path):
     assert r.returncode == 1
     assert "STAGE FAILED (train mean-mask templates)" in r.stdout
     assert "Traceback" not in r.stdout + r.stderr
+
+
+def test_evaluate_results_draw_dir(fixtures_dir, test_frames_dir, tmp_path):
+    # --draw_dir writes GT(green)/detection(red) overlay frames, the
+    # reference scorer's BoundingBox drawing (evaluar_resultados.py:36-49)
+    out = tmp_path / "ov"
+    r = _run(
+        "evaluate_results.py",
+        "--test_path", str(test_frames_dir),
+        "--detections_file", str(fixtures_dir / "instructor_practica2.txt"),
+        "--no_golden", "--draw_dir", str(out),
+    )
+    assert r.returncode == 0, r.stderr
+    assert "overlay frames written" in r.stdout
+    pngs = list(out.glob("*.png"))
+    assert pngs, "no overlay images produced"
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_recognition_cli_sweep_configs(tmp_path, mini_train_dir):
+    # the reference's commented-out multi-config loop (main.py:96-103):
+    # all four classifier configs validate and a summary table prints
+    r = _run(
+        "main_recognition.py", "--sweep_configs",
+        "--train_path", str(mini_train_dir),
+        "--cache", str(tmp_path / "c.npz"),
+        "--model_out", str(tmp_path / "m"),
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "== summary (validation accuracy) ==" in r.stdout
+    for spec in ("HOG_LDA_BAYES", "HOG_LDA_KNN",
+                 "GRAY_LDA_BAYES", "GRAY_LDA_KNN"):
+        assert spec in r.stdout
