@@ -280,6 +280,31 @@ def compute_features(crops: np.ndarray, features: str) -> np.ndarray:
     return np.asarray(fn(jnp.asarray(crops)))[:m]
 
 
+def compute_features_dict(
+    data: dict[int, np.ndarray], features: str
+) -> dict[int, np.ndarray]:
+    """Per-class descriptor dict via ONE device call.
+
+    Concatenates all classes' crops into a single padded batch: through the
+    container's ~32 MB/s host->device relay, 14 per-class uploads (each
+    bucket-padded) cost minutes; one upload + one compile costs seconds.
+    """
+    sizes = {c: len(v) for c, v in data.items()}
+    total = sum(sizes.values())
+    if total == 0:
+        return {c: compute_features(v, features) for c, v in data.items()}
+    all_crops = np.concatenate(
+        [data[c] for c in sorted(data) if sizes[c]]
+    )
+    feats = compute_features(all_crops, features)
+    out: dict[int, np.ndarray] = {}
+    off = 0
+    for c in sorted(data):
+        out[c] = feats[off : off + sizes[c]]
+        off += sizes[c]
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Classifiers
 # ---------------------------------------------------------------------------
@@ -490,8 +515,8 @@ def run_validation(
         sizes = {c: len(v) for c, v in data.items()}
         print(f"class sizes: {sizes}")
         print(f"computing {clf_cfg.features} descriptors...")
-    train_feats = {c: compute_features(v, clf_cfg.features) for c, v in train.items()}
-    val_feats = {c: compute_features(v, clf_cfg.features) for c, v in val.items()}
+    train_feats = compute_features_dict(train, clf_cfg.features)
+    val_feats = compute_features_dict(val, clf_cfg.features)
 
     if verbose:
         print(f"fitting {clf_cfg.classifier} ..." +

@@ -3,6 +3,11 @@
 
 Times each stage of `detect_frame` separately (each jitted and warmed) so
 PARITY.md's "where the time goes" table can be kept honest across rounds.
+
+Axon-relay timing rules (see PARITY.md): `block_until_ready` is a no-op
+through the tunnel, so each timing loop dispatches all iterations async
+and then forces ONE scalar D2H — the device queue is serial, so the
+scalar's arrival bounds all prior work.
 """
 
 from __future__ import annotations
@@ -15,22 +20,30 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, iters=5):
+def _sync(out):
+    leaves = jax.tree_util.tree_leaves(out)
+    np.asarray(jnp.ravel(leaves[0])[0])
+
+
+def timeit(fn, *args, iters=20):
     out = fn(*args)
-    jax.tree_util.tree_map(lambda x: np.asarray(x), out)  # warm + sync
+    _sync(out)
     t0 = time.time()
     for _ in range(iters):
         out = fn(*args)
-    jax.tree_util.tree_map(lambda x: np.asarray(x), out)
+    _sync(out)
     return (time.time() - t0) / iters, out
 
 
 def main() -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--size", choices=["gtsdb", "1080p"], default="gtsdb")
     p.add_argument("--downscale", type=int, default=2)
-    p.add_argument("--level_step", type=int, default=5)
-    p.add_argument("--max_regions", type=int, default=256)
+    p.add_argument("--level_step", type=int, default=9)
+    p.add_argument("--ccl_iters", type=int, default=2)
+    p.add_argument("--refine_scan", type=int, default=2)
+    p.add_argument("--max_regions", type=int, default=128)
     args = p.parse_args()
 
     from bench import _load_frames
@@ -52,6 +65,7 @@ def main() -> int:
     )
     from opencv_traffic_sign_detector_tpu.ops.geometry import filter_and_grow_boxes
     from opencv_traffic_sign_detector_tpu.ops.mser import mser_regions_batch
+    from opencv_traffic_sign_detector_tpu.ops.mser_pallas import fused_level_sweep
     from opencv_traffic_sign_detector_tpu.ops.preprocess import enhance_contrast
     from opencv_traffic_sign_detector_tpu.ops.resize import crop_and_resize
 
@@ -61,11 +75,13 @@ def main() -> int:
             max_regions=args.max_regions,
             downscale=args.downscale,
             ccl_jumps=0,
+            ccl_iters=args.ccl_iters,
             level_step=args.level_step,
+            refine_scan_passes=args.refine_scan,
         ),
         batch_size=args.batch,
     )
-    frames = jnp.asarray(_load_frames(args.batch, "gtsdb"))
+    frames = jnp.asarray(_load_frames(args.batch, args.size))
     templates = MeanMaskTemplates.load("artifacts/mean_masks.npz")
     red = jnp.asarray(templates.red)
     blue = jnp.asarray(templates.blue)
@@ -77,8 +93,45 @@ def main() -> int:
     pre = jax.jit(jax.vmap(enhance_contrast))
     t_pre, gray = timeit(pre, frames)
 
-    mser = jax.jit(lambda g: mser_regions_batch(g, cfg.mser))
-    t_mser, (props, pvalid) = timeit(mser, gray)
+    # fused sweep alone (downsampled, polarity-padded input)
+    c = cfg.mser
+    ds = max(1, c.downscale)
+    h0, w0 = gray.shape[1:]
+    hc, wc = (h0 // ds) * ds, (w0 // ds) * ds
+
+    def downs_pad(g):
+        d = g
+        if ds > 1:
+            d = (
+                g[:hc, :wc]
+                .reshape(hc // ds, ds, wc // ds, ds)
+                .astype(jnp.int32)
+                .mean(axis=(1, 3))
+            ).astype(jnp.uint8)
+        gi = d.astype(jnp.int32)
+        both = jnp.stack([gi, 255 - gi])
+        return jnp.pad(both, ((0, 0), (1, 1), (1, 1)), constant_values=255)
+
+    dp = jax.jit(jax.vmap(downs_pad))
+    t_dp, im2s = timeit(dp, gray)
+
+    s = c.level_step if c.level_step > 0 else c.delta
+    d_idx = max(1, round(c.delta / s))
+    num_levels = len(range(0, 256 + (d_idx + 1) * s + 1, s))
+    import dataclasses as _dc
+
+    sub = _dc.replace(
+        c,
+        min_area=max(c.min_area // (ds * ds), 1),
+        max_area=max(c.max_area // (ds * ds), 1),
+        downscale=1,
+    )
+    sw = jax.jit(jax.vmap(lambda im2: fused_level_sweep(im2, sub, d_idx,
+                                                        num_levels)))
+    t_sw, _ = timeit(sw, im2s)
+
+    msr = jax.jit(lambda g: mser_regions_batch(g, c))
+    t_msr, (props, pvalid) = timeit(msr, gray)
 
     @jax.jit
     def post(frames, props, pvalid):
@@ -100,20 +153,19 @@ def main() -> int:
 
     t_post, _ = timeit(post, frames, props, pvalid)
 
-    # decompose MSER: sweep+topk vs refinement, via the internals
-    from opencv_traffic_sign_detector_tpu.ops import mser as mser_mod
-
     b = args.batch
-    print(f"batch={b}  total={t_total*1e3:8.1f} ms  "
-          f"({b/t_total:6.2f} fps)")
+    print(f"batch={b} {args.size}  total={t_total*1e3:8.1f} ms  "
+          f"({b/t_total:6.1f} fps)")
     for name, t in [
         ("preprocess (CLAHE etc.)", t_pre),
-        ("MSER (sweep+topk+refine)", t_mser),
+        ("downsample + polarity pad", t_dp),
+        ("fused level sweep", t_sw),
+        ("MSER total (sweep+topk+refine)", t_msr),
         ("crop/dedup/classify", t_post),
     ]:
-        print(f"  {name:28s} {t*1e3:8.1f} ms  {100*t/t_total:5.1f}%")
-    print(f"  {'(sum vs fused total)':28s} "
-          f"{(t_pre+t_mser+t_post)*1e3:8.1f} ms")
+        print(f"  {name:32s} {t*1e3:8.1f} ms  {100*t/t_total:5.1f}%")
+    print(f"  {'topk+refine (MSER total - sweep - pad)':38s} "
+          f"{(t_msr - t_sw - t_dp)*1e3:8.1f} ms")
     return 0
 
 
