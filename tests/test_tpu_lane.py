@@ -70,7 +70,10 @@ def test_fused_sweep_chip_matches_interpret(real_frame):
         fused_sweep_ok,
     )
 
-    cfg = MSERConfig(max_variation=1.0, downscale=1, max_regions=256)
+    # ccl_jumps=0: the fused kernel has no pointer-jump gathers, and
+    # fused_sweep_ok (correctly) refuses configs that ask for them
+    cfg = MSERConfig(max_variation=1.0, downscale=1, max_regions=256,
+                     ccl_jumps=0)
     gray = np.asarray(bgr_to_gray(jnp.asarray(real_frame)))
     crop = gray[300:556, 500:756]  # 256x256 window with road-scene content
     g = crop.astype(np.int32)
