@@ -109,10 +109,12 @@ def main(argv=None) -> int:
         import dataclasses as _dc
 
         # Recognition mining favors proposal coverage over sweep speed
-        # (training is offline): full propagation + auto level step.  The
-        # detection CLI's speed-tuned (ccl_iters=2, level_step=9) sweep
-        # costs 0.05 proposal-recall ceiling here (scripts/proposal_recall).
-        mser = _dc.replace(mser, downscale=args.downscale, ccl_iters=24,
+        # (training is offline): auto level step + iters 8.  Measured
+        # proposal-recall ceilings (scripts/proposal_recall, grows
+        # 1.15+1.3): iters 24 -> 0.664, iters 8 -> 0.651, the detection
+        # CLI's speed-tuned (iters 2, step 9) sweep -> 0.610; iters 8 is
+        # the knee (2.5x less propagation work than 24 for 1% ceiling).
+        mser = _dc.replace(mser, downscale=args.downscale, ccl_iters=8,
                            ccl_jumps=0)
 
     # Stage-level failure isolation, matching the reference validation

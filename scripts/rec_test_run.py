@@ -59,7 +59,7 @@ def main():
     # classifier of candidates (measured: AP drops 0.141 -> 0.048).
     mser = MSERConfig(max_variation=1.0, max_regions=args.max_regions,
                       downscale=args.downscale,
-                      ccl_iters=24 if args.downscale > 1 else 16,
+                      ccl_iters=8 if args.downscale > 1 else 16,
                       ccl_jumps=0 if args.downscale > 1 else 1)
     pipe = RecognitionPipeline(
         cfg=PipelineConfig(mser=mser, batch_size=args.batch,
