@@ -75,6 +75,14 @@ class MSERConfig:
     # with area thresholds scaled by 1/4 — ~4x faster sweep, slight recall
     # cost on the smallest signs).  Boxes are returned in native coords.
     downscale: int = 1
+    # Low-res refinement (only meaningful with downscale > 1): run the
+    # bbox-refinement flood at sweep resolution (64-px windows instead of
+    # 128-px native windows, ~4x less flood + window-extraction work),
+    # scaling boxes back to native coords.  Proposal geometry quantizes
+    # to `downscale` px.  Divergence from the reference's native-res
+    # refinement — end-to-end quality revalidated per round (PARITY.md).
+    # Classification crops always come from the native-res BGR frame.
+    sweep_res_pipeline: bool = False
 
     def __post_init__(self) -> None:
         if not (0 < self.delta <= 40):

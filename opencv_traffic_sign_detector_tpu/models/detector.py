@@ -32,6 +32,7 @@ from ..constants import (
 from ..data.gt import GroundTruthBox
 from ..data.images import list_frame_files, load_image_bgr
 from ..data.prefetch import batched_frames
+from ..ops.color import bgr_to_gray
 from ..ops.dedup import dedup_by_coords, dedup_by_histogram
 from ..ops.geometry import filter_and_grow_boxes
 from ..ops.mser import mser_regions

@@ -155,7 +155,7 @@ def _level_sweep(im2: jnp.ndarray, levels, cfg: MSERConfig, d_idx: int):
 
 def _refine_boxes(im2: jnp.ndarray, seeds_yx: jnp.ndarray, levels: jnp.ndarray,
                   polarity: jnp.ndarray, num_rolls: int, seed_slack: int = 0,
-                  scan_passes: int = 0):
+                  scan_passes: int = 0, win: int = _WIN):
     """Per candidate: local flood fill in a window centred on its anchor at
     its level; bbox + pixel area of the seed's component.
 
@@ -170,8 +170,8 @@ def _refine_boxes(im2: jnp.ndarray, seeds_yx: jnp.ndarray, levels: jnp.ndarray,
     were ~32M random gathers per batch (~60% of pipeline time).
     """
     _, h, w = im2.shape
-    win_h = min(_WIN, h)
-    win_w = min(_WIN, w)
+    win_h = min(win, h)
+    win_w = min(win, w)
     big = win_h * win_w + 1
 
     # static inner ring: window borders must not wrap during rolls
@@ -358,6 +358,28 @@ def mser_regions(gray: jnp.ndarray, cfg: MSERConfig):
             max_area=max(cfg.max_area // (ds * ds), 1),
             downscale=1,
         )
+        if cfg.sweep_res_pipeline:
+            # low-res refine: the sweep input is the downsampled enhanced
+            # frame as usual, but the refinement flood also runs at sweep
+            # resolution (64-px windows, ~4x less flood + extraction work)
+            # with boxes scaled back to native coords.  (Relocating the
+            # CLAHE chain itself to low res was measured and rejected:
+            # full-set F1 0.215 -> 0.139 — the native-res equalization is
+            # load-bearing for the level stack; see PARITY.md round 3.)
+            seeds_s, level_vals, pol_idx, valid, im2_s, fused = (
+                sweep_candidates(g_small, sub_cfg)
+            )
+            boxes, areas = _refine_boxes(
+                im2_s, seeds_s, level_vals, pol_idx, _REFINE_ROLLS,
+                scan_passes=cfg.refine_scan_passes, win=64,
+            )
+            if fused:
+                valid = (valid & (areas >= sub_cfg.min_area)
+                         & (areas <= sub_cfg.max_area))
+            boxes = boxes.at[:, 0].add(-1).at[:, 1].add(-1)  # unpad
+            boxes = boxes * ds  # small -> native coords (x, y, w, h)
+            boxes = jnp.where(valid[:, None], boxes, 0)
+            return boxes.astype(jnp.int32), valid
         seeds_s, level_vals, pol_idx, valid, _, fused = sweep_candidates(
             g_small, sub_cfg
         )

@@ -16,7 +16,11 @@ from .color import bgr_to_gray, gamma_correct
 
 def enhance_contrast(bgr: jnp.ndarray, gamma: float = 2.0) -> jnp.ndarray:
     """BGR uint8 [..., H, W, 3] -> enhanced gray uint8 [..., H, W]."""
-    gray = bgr_to_gray(bgr)
+    return enhance_gray(bgr_to_gray(bgr), gamma)
+
+
+def enhance_gray(gray: jnp.ndarray, gamma: float = 2.0) -> jnp.ndarray:
+    """The same chain on an already-gray frame (any resolution)."""
     eq = clahe_equalize(gray, clip_limit=2.0, tiles=8)
     blurred = gaussian_blur_3x3(eq)
     return gamma_correct(blurred, gamma)

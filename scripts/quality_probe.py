@@ -30,6 +30,9 @@ def main(argv=None) -> int:
     ap.add_argument("--extent_only", type=int, default=0)
     ap.add_argument("--scan_passes", type=int, default=0)
     ap.add_argument("--refine_scan", type=int, default=0)
+    ap.add_argument("--sweep_res", type=int, default=0,
+                    help="1 = low-res front-end (preprocess + refine at "
+                         "sweep resolution)")
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--limit", type=int, default=0, help="frame limit")
     ap.add_argument("--tag", default="")
@@ -58,6 +61,7 @@ def main(argv=None) -> int:
         sweep_extent_only=bool(args.extent_only),
         scan_passes=args.scan_passes,
         refine_scan_passes=args.refine_scan,
+        sweep_res_pipeline=bool(args.sweep_res),
     )
     cfg = PipelineConfig(mser=mser, batch_size=args.batch)
 
