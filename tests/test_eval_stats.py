@@ -65,6 +65,19 @@ def test_full_dataset_parity_artifact(fixtures_dir):
     assert len(ours) > 500
 
 
+def test_detection_artifact_r3(fixtures_dir):
+    """Round-3 regression pin: the shipped CLI defaults' full-run artifact
+    (ds=2, iters 2, step 9, 128 regions, batch 32).  Measured at pin time:
+    281 dets, P 0.18 / R 0.28 / F1 0.22, AP 0.0698 — beats the reference
+    (F1 0.15 / AP 0.043) and doubles r2's precision/AP at 3.3x its speed."""
+    ours = load_results_file(str(fixtures_dir / "ours_resultado_tpu_r3.txt"))
+    stats = compute_detection_statistics(ours, str(fixtures_dir / "gt_test.txt"))
+    assert stats.total.f1 >= 0.21
+    assert stats.total.precision >= 0.17
+    assert stats.total.recall >= 0.26
+    assert stats.total.correct >= 48
+
+
 def test_recognition_artifact_r3(fixtures_dir):
     """Round-3 regression pin: recognition test-set artifact trained with
     proposal-matched positives + the (1.15, 1.3) grow union
