@@ -176,6 +176,11 @@ class PipelineConfig:
     mask_corr_tol: float = 0.55
     # "No sign" probability tolerance for LDABAYES arbitration (reference: 0.5).
     no_sign_tol: float = 0.5
+    # Report unrounded mask-correlation scores (framework knob; False =
+    # reference parity).  Accept/type decisions always use the rounded
+    # score; this only changes the reported ranking key — the AP
+    # protocol sorts by score, and 2-decimal rounding is tie-heavy.
+    fine_scores: bool = False
     # Sign-assertion margin for LDABAYES arbitration (framework knob; 0 =
     # reference parity).  A head asserts "sign" at p_sign >= 0.5 - margin,
     # trading precision for recall — the reference's tol dial is inert

@@ -55,7 +55,8 @@ def detect_frame(
     crops, boxes, keep = dedup_by_histogram(crops, boxes, keep, DEDUP_HIST_TOL)
     crops, boxes, keep = dedup_by_coords(crops, boxes, keep, DEDUP_COORD_TOL)
     types, scores, accept = mask_correlation_classify(
-        crops, red_templates, blue_templates, cfg.mask_corr_tol
+        crops, red_templates, blue_templates, cfg.mask_corr_tol,
+        fine_scores=cfg.fine_scores,
     )
     final = keep & accept
 

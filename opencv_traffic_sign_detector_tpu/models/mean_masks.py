@@ -107,15 +107,23 @@ def train_mean_masks(train_dir: str) -> MeanMaskTemplates:
 
 
 def _score_color(crop_masks: jnp.ndarray, templates: jnp.ndarray):
-    """crop_masks [N, 625] {0,1} x templates [6, 625] -> best (score, type)."""
+    """crop_masks [N, 625] {0,1} x templates [6, 625] -> best scores.
+
+    Returns (score [N], type [N] in 1..6, raw [N]): ``score`` is the
+    reference's 2-decimal-rounded masked F1 (its threshold compares the
+    rounded value), ``raw`` the unrounded F1 of the winning type — a
+    tie-free ranking key for the AP protocol (see
+    ``mask_correlation_classify(fine_scores=...)``).
+    """
     tp = crop_masks @ templates.T  # [N, 6]
     tmpl_sizes = jnp.sum(templates, axis=-1)  # [6]
     fn = tmpl_sizes[None, :] - tp
     raw = 2.0 * tp / jnp.maximum(2.0 * tp + fn, 1e-9)
+    raw = jnp.where(tp + fn <= _PIX * 0.01, 0.0, raw)
     score = jnp.round(raw * 100.0) / 100.0
-    score = jnp.where(tp + fn <= _PIX * 0.01, 0.0, score)
     best = jnp.argmax(score, axis=-1)
-    return jnp.max(score, axis=-1), best.astype(jnp.int32) + 1
+    take = lambda x: jnp.take_along_axis(x, best[:, None], axis=-1)[:, 0]
+    return take(score), best.astype(jnp.int32) + 1, take(raw)
 
 
 def mask_correlation_classify(
@@ -123,6 +131,7 @@ def mask_correlation_classify(
     red_templates: jnp.ndarray,
     blue_templates: jnp.ndarray,
     tol: float = MASK_CORR_TOL,
+    fine_scores: bool = False,
 ):
     """Classify 25x25 crops against the trained templates.
 
@@ -130,13 +139,22 @@ def mask_correlation_classify(
     Returns (types int32 [N] in 1..6, scores float32 [N], accept bool [N]).
     Red wins ties the way the reference's branch does (strictly greater
     scoreRed picks red, otherwise blue).
+
+    ``fine_scores`` (framework knob, default False = parity): every
+    accept/type decision stays on the reference's 2-decimal-rounded
+    scores, but the *reported* score is the unrounded masked F1 — the AP
+    protocol ranks detections by score, and 2-decimal rounding leaves
+    ~100 distinct values over hundreds of detections (tie-heavy ranking).
     """
     n = crops_bgr.shape[0]
     red_m = (color_mask(crops_bgr, "r") > 0).reshape(n, -1).astype(jnp.float32)
     blue_m = (color_mask(crops_bgr, "b") > 0).reshape(n, -1).astype(jnp.float32)
-    score_r, type_r = _score_color(red_m, red_templates)
-    score_b, type_b = _score_color(blue_m, blue_templates)
+    score_r, type_r, raw_r = _score_color(red_m, red_templates)
+    score_b, type_b, raw_b = _score_color(blue_m, blue_templates)
     use_red = score_r > score_b
     score = jnp.where(use_red, score_r, score_b)
     sign_type = jnp.where(use_red, type_r, type_b)
-    return sign_type, score, score > tol
+    accept = score > tol
+    if fine_scores:
+        score = jnp.where(use_red, raw_r, raw_b)
+    return sign_type, score, accept

@@ -33,6 +33,8 @@ def main(argv=None) -> int:
     ap.add_argument("--sweep_res", type=int, default=0,
                     help="1 = low-res front-end (preprocess + refine at "
                          "sweep resolution)")
+    ap.add_argument("--fine_scores", type=int, default=0,
+                    help="1 = unrounded score ranking (AP tie-breaks)")
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--limit", type=int, default=0, help="frame limit")
     ap.add_argument("--tag", default="")
@@ -63,7 +65,8 @@ def main(argv=None) -> int:
         refine_scan_passes=args.refine_scan,
         sweep_res_pipeline=bool(args.sweep_res),
     )
-    cfg = PipelineConfig(mser=mser, batch_size=args.batch)
+    cfg = PipelineConfig(mser=mser, batch_size=args.batch,
+                         fine_scores=bool(args.fine_scores))
 
     cache = os.path.join(os.path.dirname(__file__), "..", "mean_masks.npz")
     if os.path.exists(cache):

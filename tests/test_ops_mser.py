@@ -49,6 +49,28 @@ def test_bright_square_detected_via_inverted_polarity():
     assert best > 0.95
 
 
+def test_sweep_res_refine_matches_native_box_geometry():
+    """The sweep_res_pipeline knob refines at sweep resolution and scales
+    boxes back: on a clean square the native-coord box must land within
+    `downscale` px of the native-refined one."""
+    img = np.full((128, 160), 200, np.uint8)
+    img[40:76, 60:96] = 35  # 36x36 dark square
+    base = dict(delta=7, min_area=200, max_area=2000, max_variation=1.0,
+                max_regions=64, downscale=2, ccl_iters=16, ccl_jumps=0)
+    b_nat, v_nat = mser_regions(img, MSERConfig(**base))
+    b_low, v_low = mser_regions(
+        img, MSERConfig(**base, sweep_res_pipeline=True)
+    )
+    b_nat = np.asarray(b_nat)[np.asarray(v_nat)]
+    b_low = np.asarray(b_low)[np.asarray(v_low)]
+    assert len(b_nat) >= 1 and len(b_low) >= 1
+    target = (60, 40, 36, 36)
+    best_nat = max(b_nat, key=lambda b: _iou_xywh(b, target))
+    best_low = max(b_low, key=lambda b: _iou_xywh(b, target))
+    assert _iou_xywh(best_low, target) > 0.85
+    assert np.abs(np.asarray(best_low) - np.asarray(best_nat)).max() <= 2
+
+
 def test_area_window_respected():
     img = np.full((128, 128), 200, np.uint8)
     img[10:14, 10:14] = 40  # 16 px — below min_area
