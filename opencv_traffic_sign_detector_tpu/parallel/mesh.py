@@ -54,3 +54,25 @@ def sharded_detect_fn(mesh: Mesh, cfg, detect_batch_fn):
         in_shardings=(bs, rep, rep),
         out_shardings=bs,
     )
+
+
+def sharded_recognize_fn(mesh: Mesh, cfg, features: str, clf_kind: str,
+                         knn_k: int = 4):
+    """jit the recognition inference batch with batch-sharded frames.
+
+    Same zero-collective SPMD shape as :func:`sharded_detect_fn`:
+    classifier arrays (LDA head stacks or the KNN train set) are
+    replicated, the frame batch and every per-frame output shard along
+    the data axis.
+    """
+    from ..models.rec_pipeline import recognize_batch
+
+    bs = batch_sharding(mesh)
+    rep = replicated(mesh)
+    return jax.jit(
+        lambda frames, clf_arrays: recognize_batch(
+            frames, clf_arrays, cfg, features, clf_kind, knn_k
+        ),
+        in_shardings=(bs, rep),
+        out_shardings=bs,
+    )

@@ -99,6 +99,58 @@ def test_sharded_detect_batch_matches_single_device():
         np.testing.assert_array_equal(np.asarray(s), np.asarray(ref))
 
 
+def test_sharded_recognize_batch_matches_single_device():
+    """Multi-chip recognition inference: recognize_batch sharded over the
+    mesh equals the single-device run bit-for-bit (LDABAYES heads
+    replicated, frames batch-sharded, zero collectives)."""
+    from opencv_traffic_sign_detector_tpu.config import (
+        ClassifierConfig,
+        PipelineConfig,
+    )
+    from opencv_traffic_sign_detector_tpu.models.lda import lda_fit
+    from opencv_traffic_sign_detector_tpu.models.rec_pipeline import (
+        recognize_batch,
+    )
+    from opencv_traffic_sign_detector_tpu.parallel.mesh import (
+        sharded_recognize_fn,
+    )
+
+    rng = np.random.default_rng(23)
+    b, h, w = 8, 128, 160
+    frames = rng.integers(80, 170, (b, h, w, 3), np.uint8)
+    for i in range(b):
+        x, y = 30 + (i % 4) * 12, 40
+        frames[i, y : y + 20, x : x + 20] = 20
+    # six synthetic binary LDA heads on separable HOG-sized features
+    coefs, ints = [], []
+    for hseed in range(6):
+        r = np.random.default_rng(hseed)
+        X = np.concatenate([r.normal(0, 1, (40, 324)),
+                            r.normal(2, 1, (40, 324))]).astype(np.float32)
+        y = np.array([0] * 40 + [1] * 40)
+        p = lda_fit(X, y)
+        coefs.append(p.coef)
+        ints.append(p.intercept)
+    arrays = (jnp.asarray(np.stack(coefs), jnp.float32),
+              jnp.asarray(np.stack(ints), jnp.float32))
+
+    cfg = PipelineConfig(
+        mser=MSERConfig(min_area=60, max_area=1200, max_variation=1.0,
+                        max_regions=32),
+        max_detections=16,
+        batch_size=b,
+    )
+    single = recognize_batch(jnp.asarray(frames), arrays, cfg, "HOG",
+                             "LDABAYES")
+
+    mesh = data_mesh()
+    fn = sharded_recognize_fn(mesh, cfg, "HOG", "LDABAYES")
+    sharded = fn(shard_batch(mesh, frames), arrays)
+    assert sharded[0].sharding.spec == batch_sharding(mesh).spec
+    for s, ref in zip(sharded, single):
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(ref))
+
+
 @pytest.mark.slow
 def test_detection_pipeline_accepts_mesh():
     """DetectionPipeline(mesh=...) routes batches through the sharded fn."""
