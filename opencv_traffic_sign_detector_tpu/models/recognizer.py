@@ -20,6 +20,7 @@ Pipeline (reference `Reconocimiento de Objetos/source.py:350-482,485-641,
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 
 import jax
@@ -73,9 +74,6 @@ def _propose_frame(bgr: jnp.ndarray, cfg: MSERConfig,
     crops, boxes, keep = dedup_by_coords(crops, boxes, keep, DEDUP_COORD_TOL)
     crops_gray = bgr_to_gray(crops)
     return boxes, crops_gray, keep
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=8)
