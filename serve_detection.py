@@ -1,0 +1,190 @@
+#!/usr/bin/env python3
+"""Streaming detection server: watch a directory, emit JSONL detections.
+
+Production-serving surface over the same fused device pipeline as
+`main_detection.py` (the reference has no serving mode; its loop is a
+one-shot batch over a fixed directory, `Deteción de Objetos/
+source.py:95-131`).  Frames appearing in ``--watch_dir`` are decoded with
+the native loader, batched with a bounded linger so tail latency stays
+controlled (a partial batch is padded and flushed after ``--max_wait_ms``),
+pushed through `detect_batch`, and appended to ``--out`` as one JSON object
+per frame:
+
+    {"file": "00600.jpg", "latency_ms": 41.3,
+     "detections": [{"box": [x1, y1, x2, y2], "type": 3, "score": 0.78}]}
+
+    python serve_detection.py --watch_dir incoming/ --out results.jsonl
+    python serve_detection.py --watch_dir dir/ --once   # drain + exit
+
+``--once`` processes the frames present and exits (used by tests and for
+cron-style operation); otherwise the server polls for new files until
+SIGINT.  On exit it prints a latency/throughput report (p50/p95/p99 per
+frame, decode->result).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _percentile(sorted_vals, p):
+    if not sorted_vals:
+        return float("nan")
+    k = min(len(sorted_vals) - 1, max(0, int(round(p / 100 * (len(sorted_vals) - 1)))))
+    return sorted_vals[k]
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description="Streaming sign detector")
+    parser.add_argument("--watch_dir", required=True)
+    parser.add_argument("--out", default="detections.jsonl")
+    parser.add_argument("--detector", default="MSER_7_200_2000_1")
+    parser.add_argument("--templates", default="mean_masks.npz",
+                        help="trained mean-mask templates (see "
+                             "main_detection.py; trained on first use if "
+                             "missing and --train_path is given)")
+    parser.add_argument("--train_path", default=None)
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--max_wait_ms", type=float, default=200.0,
+                        help="max linger before flushing a partial batch")
+    parser.add_argument("--poll_ms", type=float, default=50.0)
+    parser.add_argument("--downscale", type=int, default=2)
+    parser.add_argument("--max_regions", type=int, default=128)
+    parser.add_argument("--once", action="store_true",
+                        help="process existing frames, then exit")
+    args = parser.parse_args(argv)
+
+    import dataclasses as _dc
+
+    import numpy as np
+
+    from opencv_traffic_sign_detector_tpu.config import (
+        ConfigError,
+        MSERConfig,
+        PipelineConfig,
+    )
+    from opencv_traffic_sign_detector_tpu.data.images import (
+        list_frame_files,
+        load_image_bgr,
+    )
+    from opencv_traffic_sign_detector_tpu.models.detector import (
+        DetectionPipeline,
+    )
+    from opencv_traffic_sign_detector_tpu.models.mean_masks import (
+        MeanMaskTemplates,
+        train_mean_masks,
+    )
+
+    try:
+        mser = MSERConfig.from_string(args.detector)
+    except ConfigError as e:
+        print(f"Invalid spec: {e}")
+        return 2
+    if args.downscale > 1:
+        mser = _dc.replace(mser, downscale=args.downscale, ccl_iters=2,
+                           level_step=9, ccl_jumps=0)
+    if args.max_regions:
+        mser = _dc.replace(mser, max_regions=args.max_regions)
+    cfg = PipelineConfig(mser=mser, batch_size=args.batch)
+
+    if os.path.exists(args.templates):
+        templates = MeanMaskTemplates.load(args.templates)
+    elif args.train_path:
+        templates = train_mean_masks(args.train_path)
+        templates.save(args.templates)
+    else:
+        print(f"templates file {args.templates!r} not found and no "
+              "--train_path given")
+        return 2
+
+    pipe = DetectionPipeline(cfg=cfg, templates=templates)
+    seen: set[str] = set()
+    latencies: list[float] = []
+    n_frames = 0
+    t_start = time.time()
+
+    def flush(batch_files, batch_arrivals, out_fh):
+        nonlocal n_frames
+        if not batch_files:
+            return
+        frames = np.stack(
+            [load_image_bgr(os.path.join(args.watch_dir, f))
+             for f in batch_files]
+        )
+        pad = args.batch - len(batch_files)
+        if pad:
+            frames = np.concatenate([frames, frames[-1:].repeat(pad, 0)])
+        names = batch_files + ["__pad__"] * pad
+        dets = pipe.detect_frames(frames, names)
+        done = time.time()
+        by_file: dict[str, list] = {f: [] for f in batch_files}
+        for d in dets:
+            if d.filename != "__pad__":
+                by_file[d.filename].append(d)
+        for f, t0 in zip(batch_files, batch_arrivals):
+            lat = (done - t0) * 1e3
+            latencies.append(lat)
+            n_frames += 1
+            out_fh.write(json.dumps({
+                "file": f,
+                "latency_ms": round(lat, 1),
+                "detections": [
+                    {"box": [d.x1, d.y1, d.x2, d.y2],
+                     "type": d.class_id, "score": d.score}
+                    for d in by_file[f]
+                ],
+            }) + "\n")
+        out_fh.flush()
+
+    print(f"serving {args.watch_dir} -> {args.out} "
+          f"(batch {args.batch}, linger {args.max_wait_ms} ms"
+          f"{', drain-once' if args.once else ''})")
+    pending: list[str] = []
+    arrivals: list[float] = []
+    first_pending = None
+    try:
+        with open(args.out, "a", encoding="utf-8") as out_fh:
+            while True:
+                now = time.time()
+                for f in list_frame_files(args.watch_dir):
+                    if f not in seen:
+                        seen.add(f)
+                        pending.append(f)
+                        arrivals.append(now)
+                        if first_pending is None:
+                            first_pending = now
+                while len(pending) >= args.batch:
+                    flush(pending[: args.batch], arrivals[: args.batch],
+                          out_fh)
+                    pending = pending[args.batch :]
+                    arrivals = arrivals[args.batch :]
+                    first_pending = time.time() if pending else None
+                lingered = (
+                    first_pending is not None
+                    and (now - first_pending) * 1e3 >= args.max_wait_ms
+                )
+                if pending and (lingered or args.once):
+                    flush(pending, arrivals, out_fh)
+                    pending, arrivals, first_pending = [], [], None
+                if args.once and not pending:
+                    break
+                time.sleep(args.poll_ms / 1e3)
+    except KeyboardInterrupt:
+        pass
+
+    wall = time.time() - t_start
+    lat_sorted = sorted(latencies)
+    print(f"{n_frames} frames in {wall:.1f}s "
+          f"({n_frames / max(wall, 1e-9):.1f} fps) | latency ms "
+          f"p50 {_percentile(lat_sorted, 50):.0f} "
+          f"p95 {_percentile(lat_sorted, 95):.0f} "
+          f"p99 {_percentile(lat_sorted, 99):.0f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

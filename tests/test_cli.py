@@ -99,3 +99,38 @@ def test_recognition_cli_sweep_configs(tmp_path, mini_train_dir):
     for spec in ("HOG_LDA_BAYES", "HOG_LDA_KNN",
                  "GRAY_LDA_BAYES", "GRAY_LDA_KNN"):
         assert spec in r.stdout
+
+
+def test_serve_detection_once(tmp_path, mini_train_dir):
+    # streaming server surface: drain a directory once, emit JSONL with
+    # per-frame latency + detections, print the latency report
+    import numpy as np
+
+    from opencv_traffic_sign_detector_tpu.models.mean_masks import (
+        MeanMaskTemplates,
+    )
+
+    rng = np.random.default_rng(3)
+    tmpl = tmp_path / "tmpl.npz"
+    MeanMaskTemplates(
+        red=(rng.random((6, 625)) < 0.3).astype(np.float32),
+        blue=(rng.random((6, 625)) < 0.3).astype(np.float32),
+    ).save(str(tmpl))
+    out = tmp_path / "dets.jsonl"
+    r = _run(
+        "serve_detection.py",
+        "--watch_dir", mini_train_dir,
+        "--out", str(out),
+        "--templates", str(tmpl),
+        "--batch", "2", "--once", "--downscale", "1",
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "latency ms p50" in r.stdout
+    import json as _json
+
+    lines = [_json.loads(l) for l in out.read_text().splitlines()]
+    assert len(lines) == 2  # both mini frames drained
+    for rec in lines:
+        assert set(rec) == {"file", "latency_ms", "detections"}
+        for d in rec["detections"]:
+            assert set(d) == {"box", "type", "score"}
