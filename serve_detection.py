@@ -109,37 +109,53 @@ def main(argv=None) -> int:
     t_start = time.time()
 
     def flush(batch_files, batch_arrivals, out_fh):
-        nonlocal n_frames, warmed
+        """Process any number of pending frames with the same decode-ahead +
+        pre-upload + dispatch/collect overlap as the batch CLI — a drain of
+        K batches runs at run_directory throughput, not serial per-batch."""
+        nonlocal n_frames
         if not batch_files:
             return
-        frames = np.stack(
-            [load_image_bgr(os.path.join(args.watch_dir, f))
-             for f in batch_files]
+        from opencv_traffic_sign_detector_tpu.data.prefetch import (
+            batched_frames,
         )
-        pad = args.batch - len(batch_files)
-        if pad:
-            frames = np.concatenate([frames, frames[-1:].repeat(pad, 0)])
-        names = batch_files + ["__pad__"] * pad
-        dets = pipe.detect_frames(frames, names)
-        done = time.time()
-        by_file: dict[str, list] = {f: [] for f in batch_files}
-        for d in dets:
-            if d.filename != "__pad__":
-                by_file[d.filename].append(d)
-        for f, t0 in zip(batch_files, batch_arrivals):
-            lat = (done - t0) * 1e3
-            latencies.append(lat)
-            n_frames += 1
-            out_fh.write(json.dumps({
-                "file": f,
-                "latency_ms": round(lat, 1),
-                "detections": [
-                    {"box": [d.x1, d.y1, d.x2, d.y2],
-                     "type": d.class_id, "score": d.score}
-                    for d in by_file[f]
-                ],
-            }) + "\n")
-        out_fh.flush()
+
+        arrival_of = dict(zip(batch_files, batch_arrivals))
+
+        def emit(out, names):
+            nonlocal n_frames
+            dets = pipe.collect(out, names, args.batch)
+            done = time.time()
+            by_file: dict[str, list] = {}
+            for d in dets:
+                if d.filename != "__pad__":
+                    by_file.setdefault(d.filename, []).append(d)
+            for f in names:
+                if f == "__pad__":
+                    continue
+                lat = (done - arrival_of[f]) * 1e3
+                latencies.append(lat)
+                n_frames += 1
+                out_fh.write(json.dumps({
+                    "file": f,
+                    "latency_ms": round(lat, 1),
+                    "detections": [
+                        {"box": [d.x1, d.y1, d.x2, d.y2],
+                         "type": d.class_id, "score": d.score}
+                        for d in by_file.get(f, [])
+                    ],
+                }) + "\n")
+            out_fh.flush()
+
+        in_flight = None
+        for frames, names in batched_frames(
+            args.watch_dir, batch_files, args.batch, device_put=True
+        ):
+            out = pipe.dispatch(frames)
+            if in_flight is not None:
+                emit(*in_flight)
+            in_flight = (out, names)
+        if in_flight is not None:
+            emit(*in_flight)
 
     print(f"serving {args.watch_dir} -> {args.out} "
           f"(batch {args.batch}, linger {args.max_wait_ms} ms"
@@ -172,6 +188,7 @@ def main(argv=None) -> int:
                     now = time.time()
                     arrivals = [now] * len(arrivals)
                     first_pending = now
+                    t_start = now  # fps report also bills from readiness
                 while len(pending) >= args.batch:
                     flush(pending[: args.batch], arrivals[: args.batch],
                           out_fh)
