@@ -1,0 +1,287 @@
+"""MXU-resident convolutional sign detector — the framework's north-star path.
+
+The reference detects signs with a region-proposal pipeline (MSER sweep +
+mask correlation, ``Deteción de Objetos/source.py:96-180``).  Our TPU port of
+that pipeline is elementwise/scan-shaped, so its throughput ceiling is the
+VPU (PARITY.md "ceiling note": ~124 fps at 1360x800).  This module is the
+framework's MXU answer to the same task: an anchor-free center-point
+detector (CenterNet-style) whose compute is almost entirely 3x3
+convolutions in bfloat16 — exactly the shape the systolic array is built
+for — trained on the same gt.txt supervision the reference's trainer
+consumes and emitting the same six super-types into the same resultado.txt
+protocol.
+
+Design notes (TPU-first):
+
+* A 4x4 space-to-depth stem turns the 3-channel input into a 48-channel
+  stride-4 tensor so the very first conv already has an MXU-friendly
+  contraction depth (3-channel convs waste >90% of the array).
+* The whole network is static-shape; full frames (1360x800, 1920x1088) are
+  multiples of the stride so no dynamic padding exists anywhere.
+* Peak extraction (the NMS equivalent) is a 3x3 max-pool equality test plus
+  one ``top_k`` — no data-dependent control flow, jit-compatible end to end.
+* Params are float32, activations bfloat16 (hm head computed in f32).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from functools import partial
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.gt import GroundTruthBox
+
+# Detector output stride: heads live on the stride-8 grid (a 16 px sign — the
+# GTSDB minimum — spans 2 cells).
+STRIDE = 8
+NUM_CLASSES = 6  # six super-types; background is "no peak", not a channel
+
+
+@dataclass(frozen=True)
+class CNNDetectorConfig:
+    """Architecture + decode hyper-parameters (defaults = shipped model)."""
+
+    stem_features: int = 64
+    mid_features: int = 96
+    deep_features: int = 128
+    head_features: int = 96
+    max_detections: int = 32
+    score_threshold: float = 0.35
+    dtype: str = "bfloat16"
+
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+
+def _space_to_depth(x: jax.Array, r: int) -> jax.Array:
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // r, r, w // r, r, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // r, w // r, r * r * c)
+
+
+class _ConvBlock(nn.Module):
+    features: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                    use_bias=False, dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=8, dtype=jnp.float32)(x)
+        return nn.relu(x)
+
+
+class SignCenterNet(nn.Module):
+    """Anchor-free center detector over the six GTSDB super-types.
+
+    Input: uint8 BGR frames [B, H, W, 3] with H, W multiples of 16.
+    Output dict (all stride-8 grids, float32):
+      ``hm``   [B, H/8, W/8, 6]  per-class center logits
+      ``size`` [B, H/8, W/8, 2]  (w, h) in grid units (log-space-free, raw)
+      ``off``  [B, H/8, W/8, 2]  (dx, dy) sub-cell center offset in [0, 1)
+    """
+
+    cfg: CNNDetectorConfig = field(default_factory=CNNDetectorConfig)
+
+    @nn.compact
+    def __call__(self, frames_u8):
+        cfg = self.cfg
+        dt = cfg.compute_dtype()
+        x = frames_u8.astype(dt) * jnp.asarray(1.0 / 255.0, dt) - jnp.asarray(0.5, dt)
+        x = _space_to_depth(x, 4)                      # [B, H/4, W/4, 48]
+        x = _ConvBlock(cfg.stem_features, dtype=dt)(x)
+        x = _ConvBlock(cfg.stem_features, stride=2, dtype=dt)(x)   # s8
+        s8 = _ConvBlock(cfg.mid_features, dtype=dt)(x)
+        x = _ConvBlock(cfg.mid_features, stride=2, dtype=dt)(s8)   # s16
+        x = _ConvBlock(cfg.deep_features, dtype=dt)(x)
+        x = _ConvBlock(cfg.deep_features, dtype=dt)(x)
+        # FPN-lite: bring the s16 context back to the s8 grid for small signs.
+        b, h16, w16, c = x.shape
+        up = jax.image.resize(x, (b, h16 * 2, w16 * 2, c), "nearest")
+        fused = jnp.concatenate([s8, up], axis=-1)
+        feat = _ConvBlock(cfg.head_features, dtype=dt)(fused)
+        feat = _ConvBlock(cfg.head_features, dtype=dt)(feat)
+
+        hm = nn.Conv(NUM_CLASSES, (3, 3), dtype=jnp.float32,
+                     bias_init=nn.initializers.constant(-4.59))(  # prior ~0.01
+                         feat.astype(jnp.float32))
+        size = nn.Conv(2, (3, 3), dtype=jnp.float32)(feat.astype(jnp.float32))
+        off = nn.Conv(2, (3, 3), dtype=jnp.float32)(feat.astype(jnp.float32))
+        return {"hm": hm, "size": size, "off": off}
+
+
+# ---------------------------------------------------------------------------
+# Decode: heatmap peaks -> padded box tensors (static shapes, jit-safe)
+# ---------------------------------------------------------------------------
+
+
+def decode_detections(outputs: dict, k: int, score_threshold: float):
+    """Turn head outputs into top-k boxes per frame.
+
+    Returns (boxes [B,k,4] float32 xyxy pixels, cls [B,k] int32 1..6,
+    scores [B,k] float32, valid [B,k] bool).  The 3x3 max-pool equality test
+    is the NMS: a cell survives iff it is the local maximum of its class map.
+    """
+    prob = jax.nn.sigmoid(outputs["hm"])              # [B,Hc,Wc,C]
+    b, hc, wc, c = prob.shape
+    pooled = nn.max_pool(prob, (3, 3), strides=(1, 1), padding="SAME")
+    peaks = jnp.where(prob >= pooled, prob, 0.0)
+    flat = peaks.reshape(b, hc * wc * c)
+    scores, idx = jax.lax.top_k(flat, k)              # [B,k]
+    cls = (idx % c).astype(jnp.int32)
+    cell = idx // c
+    cy = (cell // wc).astype(jnp.float32)
+    cx = (cell % wc).astype(jnp.float32)
+
+    def _gather_map(m):                                # m [B,Hc,Wc,2]
+        flat_m = m.reshape(b, hc * wc, 2)
+        return jnp.take_along_axis(flat_m, cell[:, :, None], axis=1)
+
+    wh = jnp.maximum(_gather_map(outputs["size"]), 0.0)   # grid units
+    off = jnp.clip(_gather_map(outputs["off"]), 0.0, 1.0)
+    pcx = (cx + off[..., 0]) * STRIDE
+    pcy = (cy + off[..., 1]) * STRIDE
+    pw = wh[..., 0] * STRIDE
+    ph = wh[..., 1] * STRIDE
+    boxes = jnp.stack(
+        [pcx - pw / 2, pcy - ph / 2, pcx + pw / 2, pcy + ph / 2], axis=-1)
+    valid = (scores >= score_threshold) & (pw > 2) & (ph > 2)
+    return boxes, cls + 1, scores, valid
+
+
+# ---------------------------------------------------------------------------
+# Parameter persistence (plain npz — no orbax dependency in the product path)
+# ---------------------------------------------------------------------------
+
+
+def save_params(path: str, params) -> None:
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    arrays = {jax.tree_util.keystr(kp): np.asarray(v) for kp, v in flat}
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **arrays)
+
+
+def load_params(path: str, template):
+    data = np.load(path)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for kp, tmpl in flat:
+        key = jax.tree_util.keystr(kp)
+        if key not in data:
+            raise ValueError(f"checkpoint {path} is missing parameter {key}")
+        arr = data[key]
+        if arr.shape != tmpl.shape:
+            raise ValueError(
+                f"checkpoint {path} parameter {key} has shape {arr.shape}, "
+                f"model expects {tmpl.shape}")
+        leaves.append(jnp.asarray(arr, tmpl.dtype))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def init_params(cfg: CNNDetectorConfig, seed: int = 0,
+                input_hw: tuple[int, int] = (160, 160)):
+    model = SignCenterNet(cfg)
+    dummy = jnp.zeros((1, *input_hw, 3), jnp.uint8)
+    return model.init(jax.random.PRNGKey(seed), dummy)["params"]
+
+
+# ---------------------------------------------------------------------------
+# Full-frame inference driver (product path)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def _detect_jit(cfg: CNNDetectorConfig, params, frames_u8, k, thresh):
+    out = SignCenterNet(cfg).apply({"params": params}, frames_u8)
+    return decode_detections(out, k, thresh)
+
+
+class CNNDetector:
+    """Batched full-frame detector over saved weights.
+
+    Mirrors ``models/detector.py``'s dispatch/collect contract so the
+    directory driver and the streaming server can host either model family.
+    """
+
+    def __init__(self, params, cfg: CNNDetectorConfig | None = None):
+        self.cfg = cfg or CNNDetectorConfig()
+        self.params = params
+
+    @classmethod
+    def load(cls, path: str, cfg: CNNDetectorConfig | None = None):
+        cfg = cfg or CNNDetectorConfig()
+        template = init_params(cfg)
+        return cls(load_params(path, template), cfg)
+
+    def save(self, path: str) -> None:
+        save_params(path, self.params)
+
+    def dispatch(self, frames: np.ndarray):
+        """frames uint8 [B,H,W,3] BGR with H,W multiples of 16."""
+        return _detect_jit(self.cfg, self.params, jnp.asarray(frames),
+                           self.cfg.max_detections, self.cfg.score_threshold)
+
+    def collect(self, handles, filenames: list[str],
+                orig_hw: tuple[int, int] | None = None) -> list[GroundTruthBox]:
+        boxes, cls, scores, valid = [np.asarray(h) for h in handles]
+        dets: list[GroundTruthBox] = []
+        for i, name in enumerate(filenames):
+            for j in range(boxes.shape[1]):
+                if not valid[i, j]:
+                    continue
+                x1, y1, x2, y2 = boxes[i, j]
+                if orig_hw is not None:
+                    h, w = orig_hw
+                    x1, x2 = np.clip([x1, x2], 0, w - 1)
+                    y1, y2 = np.clip([y1, y2], 0, h - 1)
+                if x2 - x1 < 2 or y2 - y1 < 2:
+                    continue
+                dets.append(GroundTruthBox(
+                    filename=name,
+                    x1=int(round(float(x1))), y1=int(round(float(y1))),
+                    x2=int(round(float(x2))), y2=int(round(float(y2))),
+                    class_id=int(cls[i, j]),
+                    score=float(scores[i, j])))
+        return dets
+
+    def detect_frames(self, frames: np.ndarray, filenames: list[str],
+                      orig_hw: tuple[int, int] | None = None):
+        return self.collect(self.dispatch(frames), filenames, orig_hw)
+
+    def run_directory(self, directory: str, batch_size: int = 32,
+                      progress: bool = False) -> list[GroundTruthBox]:
+        """Detect over a dataset directory with decode-ahead + one batch in
+        flight (same overlap contract as ``DetectionPipeline.run_directory``)."""
+        from ..data.images import list_frame_files
+        from ..data.prefetch import batched_frames
+
+        files = list_frame_files(directory)
+        dets: list[GroundTruthBox] = []
+        pending = None
+        done = 0
+        orig_hw = None
+        for frames, names in batched_frames(directory, files, batch_size,
+                                            device_put=True):
+            if orig_hw is None:
+                orig_hw = (int(frames.shape[1]), int(frames.shape[2]))
+            out = self.dispatch(frames)
+            if pending is not None:
+                dets.extend(d for d in self.collect(*pending)
+                            if d.filename != "__pad__")
+                done = min(done + batch_size, len(files))
+                if progress:
+                    print(f"  processed {done}/{len(files)} frames")
+            pending = (out, names, orig_hw)
+        if pending is not None:
+            dets.extend(d for d in self.collect(*pending)
+                        if d.filename != "__pad__")
+            if progress:
+                print(f"  processed {len(files)}/{len(files)} frames")
+        return dets
