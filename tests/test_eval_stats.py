@@ -105,3 +105,30 @@ def test_full_dataset_parity_artifact_r2(fixtures_dir):
     assert stats.total.precision >= 0.14
     assert stats.total.recall >= 0.37
     assert stats.total.correct >= 65
+
+
+def test_cnn_detection_artifact_r3(fixtures_dir):
+    """Round-3 regression pin: the CNN center-point flagship at the shipped
+    0.45 threshold (artifact from scripts/train_cnn.py, 12000 steps / 308 s
+    on one chip).  Measured at pin time: 137 dets, P 0.95 / R 0.73 /
+    F1 0.83, AP 0.8784 — beats the instructor golden (AP 0.664), the MSER
+    parity pipeline (F1 0.215 / AP 0.070), and the reference (F1 0.15 /
+    AP 0.043) at 12.7x the parity pipeline's speed."""
+    ours = load_results_file(
+        str(fixtures_dir / "ours_cnn_resultado_tpu.txt"))
+    stats = compute_detection_statistics(ours, str(fixtures_dir / "gt_test.txt"))
+    assert stats.total.f1 >= 0.81
+    assert stats.total.precision >= 0.92
+    assert stats.total.recall >= 0.70
+    assert stats.total.correct >= 125
+
+    from opencv_traffic_sign_detector_tpu.eval.ap import (
+        precision_recall_curve,
+        pr_from_tp_fp,
+    )
+    from opencv_traffic_sign_detector_tpu.data.gt import load_ground_truth
+
+    gt = load_ground_truth(str(fixtures_dir / "gt_test.txt"))
+    tp, fp, _t, n_gt = precision_recall_curve(gt, ours)
+    _r, _p, ap, _ap11 = pr_from_tp_fp(tp, fp, n_gt)
+    assert ap >= 0.80
