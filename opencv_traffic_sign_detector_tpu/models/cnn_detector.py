@@ -50,6 +50,14 @@ class CNNDetectorConfig:
     mid_features: int = 96
     deep_features: int = 128
     head_features: int = 96
+    # "base": s4-resident stem conv, concat-FPN, f32 heads (the r3 original).
+    # "slim": stride-2 stem straight to s8, 1x1-projected add-FPN, bf16
+    # heads — measured 1.27x faster at 1080p (scripts/cnn_variants.py:
+    # 20.6 -> 16.2 ms/16 frames) because it removes the two worst
+    # MXU-fill offenders (the 48->64 s4 conv at 15 TFLOP/s and the f32
+    # head convs; scripts/mxu_peak.py).  Heads stay on the stride-8 grid
+    # so 16 px GTSDB signs still span 2 cells.
+    arch: str = "base"
     max_detections: int = 32
     # F1-optimal operating point on the GTSDB test set (P 0.86 / R 0.68 /
     # F1 0.76); lower toward 0.2 for AP-max (0.89), raise for precision.
@@ -98,24 +106,36 @@ class SignCenterNet(nn.Module):
         dt = cfg.compute_dtype()
         x = frames_u8.astype(dt) * jnp.asarray(1.0 / 255.0, dt) - jnp.asarray(0.5, dt)
         x = _space_to_depth(x, 4)                      # [B, H/4, W/4, 48]
-        x = _ConvBlock(cfg.stem_features, dtype=dt)(x)
-        x = _ConvBlock(cfg.stem_features, stride=2, dtype=dt)(x)   # s8
+        slim = cfg.arch == "slim"
+        if slim:
+            x = _ConvBlock(cfg.stem_features, stride=2, dtype=dt)(x)   # s8
+        else:
+            x = _ConvBlock(cfg.stem_features, dtype=dt)(x)
+            x = _ConvBlock(cfg.stem_features, stride=2, dtype=dt)(x)   # s8
         s8 = _ConvBlock(cfg.mid_features, dtype=dt)(x)
         x = _ConvBlock(cfg.mid_features, stride=2, dtype=dt)(s8)   # s16
         x = _ConvBlock(cfg.deep_features, dtype=dt)(x)
         x = _ConvBlock(cfg.deep_features, dtype=dt)(x)
         # FPN-lite: bring the s16 context back to the s8 grid for small signs.
         b, h16, w16, c = x.shape
-        up = jax.image.resize(x, (b, h16 * 2, w16 * 2, c), "nearest")
-        fused = jnp.concatenate([s8, up], axis=-1)
+        if slim:
+            x = nn.Conv(cfg.mid_features, (1, 1), dtype=dt)(x)
+            up = jax.image.resize(
+                x, (b, h16 * 2, w16 * 2, cfg.mid_features), "nearest")
+            fused = s8 + up
+        else:
+            up = jax.image.resize(x, (b, h16 * 2, w16 * 2, c), "nearest")
+            fused = jnp.concatenate([s8, up], axis=-1)
         feat = _ConvBlock(cfg.head_features, dtype=dt)(fused)
         feat = _ConvBlock(cfg.head_features, dtype=dt)(feat)
 
-        hm = nn.Conv(NUM_CLASSES, (3, 3), dtype=jnp.float32,
+        head_dt = dt if slim else jnp.float32
+        fin = feat if slim else feat.astype(jnp.float32)
+        hm = nn.Conv(NUM_CLASSES, (3, 3), dtype=head_dt,
                      bias_init=nn.initializers.constant(-4.59))(  # prior ~0.01
-                         feat.astype(jnp.float32))
-        size = nn.Conv(2, (3, 3), dtype=jnp.float32)(feat.astype(jnp.float32))
-        off = nn.Conv(2, (3, 3), dtype=jnp.float32)(feat.astype(jnp.float32))
+                         fin).astype(jnp.float32)
+        size = nn.Conv(2, (3, 3), dtype=head_dt)(fin).astype(jnp.float32)
+        off = nn.Conv(2, (3, 3), dtype=head_dt)(fin).astype(jnp.float32)
         return {"hm": hm, "size": size, "off": off}
 
 

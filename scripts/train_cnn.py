@@ -30,6 +30,7 @@ def main():
     parser.add_argument("--lr", type=float, default=2.5e-4)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--threshold", type=float, default=0.35)
+    parser.add_argument("--arch", default="base", choices=["base", "slim"])
     parser.add_argument("--out", default="artifacts/cnn_detector/params.npz")
     parser.add_argument("--resultado", default="/tmp/cnn_resultado.txt")
     parser.add_argument("--eval_batch", type=int, default=8)
@@ -50,7 +51,8 @@ def main():
     from opencv_traffic_sign_detector_tpu.models import cnn_detector as cd
     from opencv_traffic_sign_detector_tpu.models import cnn_train as ct
 
-    model_cfg = cd.CNNDetectorConfig(score_threshold=args.threshold)
+    model_cfg = cd.CNNDetectorConfig(score_threshold=args.threshold,
+                                     arch=args.arch)
 
     if not args.eval_only:
         t0 = time.time()
