@@ -50,18 +50,20 @@ class CNNDetectorConfig:
     mid_features: int = 96
     deep_features: int = 128
     head_features: int = 96
-    # "base": s4-resident stem conv, concat-FPN, f32 heads (the r3 original).
-    # "slim": stride-2 stem straight to s8, 1x1-projected add-FPN, bf16
-    # heads — measured 1.27x faster at 1080p (scripts/cnn_variants.py:
-    # 20.6 -> 16.2 ms/16 frames) because it removes the two worst
-    # MXU-fill offenders (the 48->64 s4 conv at 15 TFLOP/s and the f32
-    # head convs; scripts/mxu_peak.py).  Heads stay on the stride-8 grid
-    # so 16 px GTSDB signs still span 2 cells.
-    arch: str = "base"
+    # "base": s4-resident stem conv, concat-FPN, f32 heads (the r3 original,
+    # 747k params; F1 0.83 / AP-max 0.9068).
+    # "slim" (shipped): stride-2 stem straight to s8, 1x1-projected add-FPN,
+    # bf16 heads, 612k params — measured 1.27x faster at 1080p
+    # (scripts/cnn_variants.py: 20.6 -> 16.2 ms/16 frames) because it
+    # removes the two worst MXU-fill offenders (the 48->64 s4 conv at
+    # 15 TFLOP/s and the f32 head convs; scripts/mxu_peak.py).  Heads stay
+    # on the stride-8 grid so 16 px GTSDB signs still span 2 cells.  At
+    # 24k train steps it matches base quality: F1 0.83 / AP-max 0.9114.
+    arch: str = "slim"
     max_detections: int = 32
-    # F1-optimal operating point on the GTSDB test set (P 0.86 / R 0.68 /
-    # F1 0.76); lower toward 0.2 for AP-max (0.89), raise for precision.
-    score_threshold: float = 0.45
+    # F1-optimal operating point on the GTSDB test set (P 0.96 / R 0.72 /
+    # F1 0.83); lower toward 0.2 for AP-max (0.9114), raise for precision.
+    score_threshold: float = 0.50
     dtype: str = "bfloat16"
 
     def compute_dtype(self):

@@ -82,18 +82,32 @@ def main():
     s8 = (h // 8) * (w // 8)
     s16 = (h // 16) * (w // 16)
     f = cfg
-    flops = (
-        conv_flops(s4, 48, f.stem_features) +
-        conv_flops(s8, f.stem_features, f.stem_features) +
-        conv_flops(s8, f.stem_features, f.mid_features) +
-        conv_flops(s16, f.mid_features, f.mid_features) +
-        conv_flops(s16, f.mid_features, f.deep_features) +
-        conv_flops(s16, f.deep_features, f.deep_features) +
-        conv_flops(s8, f.mid_features + f.deep_features, f.head_features) +
-        conv_flops(s8, f.head_features, f.head_features) +
-        conv_flops(s8, f.head_features, 6) +
-        conv_flops(s8, f.head_features, 2) * 2
-    ) * b
+    if f.arch == "slim":
+        flops = (
+            conv_flops(s8, 48, f.stem_features) +
+            conv_flops(s8, f.stem_features, f.mid_features) +
+            conv_flops(s16, f.mid_features, f.mid_features) +
+            conv_flops(s16, f.mid_features, f.deep_features) +
+            conv_flops(s16, f.deep_features, f.deep_features) +
+            conv_flops(s16, f.deep_features, f.mid_features, k=1) +
+            conv_flops(s8, f.mid_features, f.head_features) +
+            conv_flops(s8, f.head_features, f.head_features) +
+            conv_flops(s8, f.head_features, 6) +
+            conv_flops(s8, f.head_features, 2) * 2
+        ) * b
+    else:
+        flops = (
+            conv_flops(s4, 48, f.stem_features) +
+            conv_flops(s8, f.stem_features, f.stem_features) +
+            conv_flops(s8, f.stem_features, f.mid_features) +
+            conv_flops(s16, f.mid_features, f.mid_features) +
+            conv_flops(s16, f.mid_features, f.deep_features) +
+            conv_flops(s16, f.deep_features, f.deep_features) +
+            conv_flops(s8, f.mid_features + f.deep_features, f.head_features) +
+            conv_flops(s8, f.head_features, f.head_features) +
+            conv_flops(s8, f.head_features, 6) +
+            conv_flops(s8, f.head_features, 2) * 2
+        ) * b
 
     fps_full = b / t_full
     fps_fwd = b / t_fwd

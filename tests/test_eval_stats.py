@@ -108,12 +108,13 @@ def test_full_dataset_parity_artifact_r2(fixtures_dir):
 
 
 def test_cnn_detection_artifact_r3(fixtures_dir):
-    """Round-3 regression pin: the CNN center-point flagship at the shipped
-    0.45 threshold (artifact from scripts/train_cnn.py, 12000 steps / 308 s
-    on one chip).  Measured at pin time: 137 dets, P 0.95 / R 0.73 /
-    F1 0.83, AP 0.8784 — beats the instructor golden (AP 0.664), the MSER
-    parity pipeline (F1 0.215 / AP 0.070), and the reference (F1 0.15 /
-    AP 0.043) at 12.7x the parity pipeline's speed."""
+    """Round-3 regression pin: the CNN center-point flagship (slim arch) at
+    the shipped 0.50 threshold (artifact from scripts/train_cnn.py
+    --arch slim, 24000 steps / 319 s on one chip).  Measured at pin time:
+    133 dets, P 0.96 / R 0.72 / F1 0.83, AP 0.8717 (AP-max 0.9114 at thr
+    0.2) — beats the instructor golden (AP 0.664), the MSER parity
+    pipeline (F1 0.215 / AP 0.070), and the reference (F1 0.15 /
+    AP 0.043) at 16x the parity pipeline's speed."""
     ours = load_results_file(
         str(fixtures_dir / "ours_cnn_resultado_tpu.txt"))
     stats = compute_detection_statistics(ours, str(fixtures_dir / "gt_test.txt"))
