@@ -143,7 +143,10 @@ def _bench_cnn(args, result: dict) -> None:
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--frames", type=int, default=64)
+    # 256 frames = 8 timed batches at the default batch 32: at >1500 fps a
+    # 2-batch window is dominated by queue jitter (measured 970 vs the
+    # 8-batch 1511 on identical weights), so the default must amortize.
+    parser.add_argument("--frames", type=int, default=256)
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--size", choices=["gtsdb", "1080p"], default="gtsdb")
     parser.add_argument("--model", choices=["auto", "cnn", "mser"],
