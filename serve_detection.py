@@ -42,7 +42,12 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description="Streaming sign detector")
     parser.add_argument("--watch_dir", required=True)
     parser.add_argument("--out", default="detections.jsonl")
-    parser.add_argument("--detector", default="MSER_7_200_2000_1")
+    parser.add_argument("--detector", default="MSER_7_200_2000_1",
+                        help="MSER_<d>_<minA>_<maxA>_<maxVar> (parity "
+                             "pipeline) or CNN[_<scoreThreshold>] (trained "
+                             "flagship; weights from --cnn_params)")
+    parser.add_argument("--cnn_params",
+                        default="artifacts/cnn_detector/params.npz")
     parser.add_argument("--templates", default="mean_masks.npz",
                         help="trained mean-mask templates (see "
                              "main_detection.py; trained on first use if "
@@ -79,29 +84,72 @@ def main(argv=None) -> int:
         train_mean_masks,
     )
 
-    try:
-        mser = MSERConfig.from_string(args.detector)
-    except ConfigError as e:
-        print(f"Invalid spec: {e}")
-        return 2
-    if args.downscale > 1:
-        mser = _dc.replace(mser, downscale=args.downscale, ccl_iters=2,
-                           level_step=9, ccl_jumps=0)
-    if args.max_regions:
-        mser = _dc.replace(mser, max_regions=args.max_regions)
-    cfg = PipelineConfig(mser=mser, batch_size=args.batch)
+    if args.detector.upper().startswith("CNN"):
+        # Flagship family: same dispatch/collect contract, trained weights
+        # instead of mean-mask templates (models/cnn_detector.py).
+        from opencv_traffic_sign_detector_tpu.models.cnn_detector import (
+            CNNDetector,
+            CNNDetectorConfig,
+        )
 
-    if os.path.exists(args.templates):
-        templates = MeanMaskTemplates.load(args.templates)
-    elif args.train_path:
-        templates = train_mean_masks(args.train_path)
-        templates.save(args.templates)
+        parts = args.detector.split("_")
+        ccfg = CNNDetectorConfig()
+        if len(parts) == 2:
+            try:
+                ccfg = _dc.replace(ccfg, score_threshold=float(parts[1]))
+            except ValueError:
+                print(f"Invalid CNN score threshold: {parts[1]!r}")
+                return 2
+        elif len(parts) > 2:
+            print(f"Invalid spec: {args.detector!r} (CNN[_<threshold>])")
+            return 2
+        if not os.path.exists(args.cnn_params):
+            print(f"CNN weights {args.cnn_params!r} not found "
+                  "(train with scripts/train_cnn.py)")
+            return 2
+        cnn = CNNDetector.load(args.cnn_params, ccfg)
+
+        class _CNNPipe:
+            """Adapt CNNDetector to the server's (out, names, batch) collect.
+
+            frames may already be device arrays (batched_frames pre-uploads);
+            CNNDetector.dispatch's jnp.asarray is a no-op for those.
+            """
+
+            def dispatch(self, frames):
+                return cnn.dispatch(frames)
+
+            def collect(self, out, names, batch):
+                return cnn.collect(out, names)
+
+            def detect_frames(self, frames, names):
+                return cnn.detect_frames(frames, names)
+
+        pipe = _CNNPipe()
     else:
-        print(f"templates file {args.templates!r} not found and no "
-              "--train_path given")
-        return 2
+        try:
+            mser = MSERConfig.from_string(args.detector)
+        except ConfigError as e:
+            print(f"Invalid spec: {e}")
+            return 2
+        if args.downscale > 1:
+            mser = _dc.replace(mser, downscale=args.downscale, ccl_iters=2,
+                               level_step=9, ccl_jumps=0)
+        if args.max_regions:
+            mser = _dc.replace(mser, max_regions=args.max_regions)
+        cfg = PipelineConfig(mser=mser, batch_size=args.batch)
 
-    pipe = DetectionPipeline(cfg=cfg, templates=templates)
+        if os.path.exists(args.templates):
+            templates = MeanMaskTemplates.load(args.templates)
+        elif args.train_path:
+            templates = train_mean_masks(args.train_path)
+            templates.save(args.templates)
+        else:
+            print(f"templates file {args.templates!r} not found and no "
+                  "--train_path given")
+            return 2
+
+        pipe = DetectionPipeline(cfg=cfg, templates=templates)
     seen: set[str] = set()
     latencies: list[float] = []
     n_frames = 0

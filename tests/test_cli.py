@@ -136,6 +136,37 @@ def test_serve_detection_once(tmp_path, mini_train_dir):
             assert set(d) == {"box", "type", "score"}
 
 
+def test_serve_detection_once_cnn(tmp_path, mini_train_dir):
+    # the streaming server hosts the CNN flagship family too (shipped
+    # weights; 256x256 mini frames satisfy the multiple-of-16 contract)
+    out = tmp_path / "dets_cnn.jsonl"
+    r = _run(
+        "serve_detection.py",
+        "--watch_dir", mini_train_dir,
+        "--out", str(out),
+        "--detector", "CNN_0.3",
+        "--batch", "2", "--once",
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "latency ms p50" in r.stdout
+    import json as _json
+
+    lines = [_json.loads(l) for l in out.read_text().splitlines()]
+    assert len(lines) == 2
+    for rec in lines:
+        assert set(rec) == {"file", "latency_ms", "detections"}
+
+
+def test_serve_detection_rejects_bad_cnn_spec(tmp_path):
+    r = _run(
+        "serve_detection.py",
+        "--watch_dir", str(tmp_path),
+        "--detector", "CNN_x_y", "--once",
+    )
+    assert r.returncode == 2
+    assert "CNN" in r.stdout
+
+
 def test_detection_cli_rejects_bad_cnn_spec():
     r = _run("main_detection.py", "--detector", "CNN_1.5")
     assert r.returncode == 2
