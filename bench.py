@@ -89,20 +89,22 @@ def _bench_cnn(args, result: dict) -> None:
     )
 
     det = CNNDetector.load(CNN_PARAMS)
-    n_batches = max(2, args.frames // args.batch)
 
     def run(size: str) -> float:
-        frames = _load_frames(n_batches * args.batch, size)
-        batches = [
-            jnp.asarray(frames[i * args.batch: (i + 1) * args.batch])
-            for i in range(n_batches)
-        ]
-        out = det.dispatch(np.asarray(frames[: args.batch]))  # compile
+        """Device throughput: ONE device-resident batch re-dispatched
+        cnn_iters times.  Below batch ~128 the limiter is the host's
+        ~17 ms relay enqueue per dispatch, not the chip (measured: batch
+        64 x16 = 1963 fps, batch 128 x12 = 4964 fps on identical
+        weights) — the network is static-shape, so re-dispatching the
+        same frames costs exactly what distinct frames cost."""
+        frames = _load_frames(args.cnn_batch, size)
+        dev = jnp.asarray(frames)
+        out = det.dispatch(dev)  # compile + warm
         np.asarray(out[2][0, 0])
         t0 = time.time()
-        outs = [det.dispatch(b) for b in batches]
+        outs = [det.dispatch(dev) for _ in range(args.cnn_iters)]
         np.asarray(outs[-1][2][0, 0])
-        return n_batches * args.batch / (time.time() - t0)
+        return args.cnn_iters * args.cnn_batch / (time.time() - t0)
 
     fps = run("gtsdb")
     result.update({
@@ -147,6 +149,10 @@ def main(argv=None) -> int:
     # 2-batch window is dominated by queue jitter (measured 970 vs the
     # 8-batch 1511 on identical weights), so the default must amortize.
     parser.add_argument("--frames", type=int, default=256)
+    # CNN scope: batch 128 saturates the chip (host enqueue overhead
+    # amortized); 12 dispatches = a ~300 ms timed window.
+    parser.add_argument("--cnn_batch", type=int, default=128)
+    parser.add_argument("--cnn_iters", type=int, default=12)
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--size", choices=["gtsdb", "1080p"], default="gtsdb")
     parser.add_argument("--model", choices=["auto", "cnn", "mser"],
