@@ -36,10 +36,14 @@ import numpy as np
 
 from ..data.gt import GroundTruthBox
 
-# Detector output stride: heads live on the stride-8 grid (a 16 px sign — the
-# GTSDB minimum — spans 2 cells).
+# Default detector output stride: heads live on the stride-8 grid (a 16 px
+# sign — the GTSDB minimum — spans 2 cells).  The v2s16* arches decode on
+# the stride-16 grid instead (CNNDetectorConfig.stride).
 STRIDE = 8
 NUM_CLASSES = 6  # six super-types; background is "no peak", not a channel
+
+# Output stride per architecture (all arches not listed decode at STRIDE).
+_ARCH_STRIDE = {"v2s16": 16, "v2s16wide": 16, "v3": 16}
 
 
 @dataclass(frozen=True)
@@ -52,13 +56,20 @@ class CNNDetectorConfig:
     head_features: int = 96
     # "base": s4-resident stem conv, concat-FPN, f32 heads (the r3 original,
     # 747k params; F1 0.83 / AP-max 0.9068).
-    # "slim" (shipped): stride-2 stem straight to s8, 1x1-projected add-FPN,
+    # "slim": stride-2 stem straight to s8, 1x1-projected add-FPN,
     # bf16 heads, 612k params — measured 1.27x faster at 1080p
     # (scripts/cnn_variants.py: 20.6 -> 16.2 ms/16 frames) because it
     # removes the two worst MXU-fill offenders (the 48->64 s4 conv at
     # 15 TFLOP/s and the f32 head convs; scripts/mxu_peak.py).  Heads stay
     # on the stride-8 grid so 16 px GTSDB signs still span 2 cells.  At
     # 24k train steps it matches base quality: F1 0.83 / AP-max 0.9114.
+    # "v2wide": slim stem to s8@128, bulk compute at s16@256, add-FPN back
+    # to s8, one s8 head conv — moves FLOPs into >=128-channel contractions
+    # (the MXU's fill sweet spot; scripts/mxu_peak.py measured 89.5 TFLOP/s
+    # on a 256-channel conv vs 11-37 on the shipped 48-128-channel ones).
+    # "v2s16"/"v2s16wide": the whole trunk at stride 16 (width 192/256),
+    # heads + decode on the s16 grid — quarters both the head-conv grid and
+    # the decode top-k input.  Sub-cell offsets carry center precision.
     arch: str = "slim"
     max_detections: int = 32
     # F1-optimal operating point on the GTSDB test set (P 0.96 / R 0.72 /
@@ -68,6 +79,11 @@ class CNNDetectorConfig:
 
     def compute_dtype(self):
         return jnp.dtype(self.dtype)
+
+    @property
+    def stride(self) -> int:
+        """Output grid stride of the decode heads for this architecture."""
+        return _ARCH_STRIDE.get(self.arch, STRIDE)
 
 
 def _space_to_depth(x: jax.Array, r: int) -> jax.Array:
@@ -107,32 +123,69 @@ class SignCenterNet(nn.Module):
         cfg = self.cfg
         dt = cfg.compute_dtype()
         x = frames_u8.astype(dt) * jnp.asarray(1.0 / 255.0, dt) - jnp.asarray(0.5, dt)
-        x = _space_to_depth(x, 4)                      # [B, H/4, W/4, 48]
-        slim = cfg.arch == "slim"
-        if slim:
-            x = _ConvBlock(cfg.stem_features, stride=2, dtype=dt)(x)   # s8
-        else:
-            x = _ConvBlock(cfg.stem_features, dtype=dt)(x)
-            x = _ConvBlock(cfg.stem_features, stride=2, dtype=dt)(x)   # s8
-        s8 = _ConvBlock(cfg.mid_features, dtype=dt)(x)
-        x = _ConvBlock(cfg.mid_features, stride=2, dtype=dt)(s8)   # s16
-        x = _ConvBlock(cfg.deep_features, dtype=dt)(x)
-        x = _ConvBlock(cfg.deep_features, dtype=dt)(x)
-        # FPN-lite: bring the s16 context back to the s8 grid for small signs.
-        b, h16, w16, c = x.shape
-        if slim:
-            x = nn.Conv(cfg.mid_features, (1, 1), dtype=dt)(x)
-            up = jax.image.resize(
-                x, (b, h16 * 2, w16 * 2, cfg.mid_features), "nearest")
-            fused = s8 + up
-        else:
-            up = jax.image.resize(x, (b, h16 * 2, w16 * 2, c), "nearest")
-            fused = jnp.concatenate([s8, up], axis=-1)
-        feat = _ConvBlock(cfg.head_features, dtype=dt)(fused)
-        feat = _ConvBlock(cfg.head_features, dtype=dt)(feat)
+        if cfg.arch != "v3":
+            x = _space_to_depth(x, 4)                  # [B, H/4, W/4, 48]
 
-        head_dt = dt if slim else jnp.float32
-        fin = feat if slim else feat.astype(jnp.float32)
+        if cfg.arch == "v3":
+            # North-star arch (round 4): 8x8-stride-8 patchify conv straight
+            # from uint8 (no space-to-depth intermediate — skips a 12.5
+            # MB/frame HBM round-trip), then a 128-wide stride-16 trunk.
+            # ~6.8 GFLOP per 1080p frame vs slim's 22.6.  NO norm layers at
+            # inference: the trainer uses BatchNorm and folds it into the
+            # conv kernels/biases at export (models/cnn_train.py:
+            # fold_v3_batchnorm), so this chain is pure conv+relu —
+            # measured 23.9 ms / 128 1080p frames (5360 fps) forward.
+            x = nn.relu(nn.Conv(64, (8, 8), strides=(8, 8), dtype=dt)(x))
+            x = nn.relu(nn.Conv(128, (3, 3), strides=(2, 2), dtype=dt)(x))
+            x = nn.relu(nn.Conv(128, (3, 3), dtype=dt)(x))
+            fin = nn.relu(nn.Conv(128, (3, 3), dtype=dt)(x))
+            head_dt = dt
+        elif cfg.arch in ("v2s16", "v2s16wide"):
+            # whole trunk at s16; heads + decode on the s16 grid
+            w = 256 if cfg.arch == "v2s16wide" else 192
+            x = _ConvBlock(w // 2, stride=2, dtype=dt)(x)   # 48 -> w/2 @ s8
+            x = _ConvBlock(w, stride=2, dtype=dt)(x)        # w/2 -> w @ s16
+            x = _ConvBlock(w, dtype=dt)(x)
+            x = _ConvBlock(w, dtype=dt)(x)
+            fin = _ConvBlock(w, dtype=dt)(x)
+            head_dt = dt
+        elif cfg.arch == "v2wide":
+            # slim stem to s8@128, bulk compute at s16@256, add-FPN to s8
+            s8 = _ConvBlock(128, stride=2, dtype=dt)(x)     # 48 -> 128 @ s8
+            x = _ConvBlock(256, stride=2, dtype=dt)(s8)     # s16
+            x = _ConvBlock(256, dtype=dt)(x)
+            x = _ConvBlock(256, dtype=dt)(x)
+            b, h16, w16, _ = x.shape
+            x = nn.Conv(128, (1, 1), dtype=dt)(x)
+            up = jax.image.resize(x, (b, h16 * 2, w16 * 2, 128), "nearest")
+            fin = _ConvBlock(128, dtype=dt)(s8 + up)
+            head_dt = dt
+        else:
+            slim = cfg.arch == "slim"
+            if slim:
+                x = _ConvBlock(cfg.stem_features, stride=2, dtype=dt)(x)   # s8
+            else:
+                x = _ConvBlock(cfg.stem_features, dtype=dt)(x)
+                x = _ConvBlock(cfg.stem_features, stride=2, dtype=dt)(x)   # s8
+            s8 = _ConvBlock(cfg.mid_features, dtype=dt)(x)
+            x = _ConvBlock(cfg.mid_features, stride=2, dtype=dt)(s8)   # s16
+            x = _ConvBlock(cfg.deep_features, dtype=dt)(x)
+            x = _ConvBlock(cfg.deep_features, dtype=dt)(x)
+            # FPN-lite: bring s16 context back to the s8 grid for small signs.
+            b, h16, w16, c = x.shape
+            if slim:
+                x = nn.Conv(cfg.mid_features, (1, 1), dtype=dt)(x)
+                up = jax.image.resize(
+                    x, (b, h16 * 2, w16 * 2, cfg.mid_features), "nearest")
+                fused = s8 + up
+            else:
+                up = jax.image.resize(x, (b, h16 * 2, w16 * 2, c), "nearest")
+                fused = jnp.concatenate([s8, up], axis=-1)
+            feat = _ConvBlock(cfg.head_features, dtype=dt)(fused)
+            feat = _ConvBlock(cfg.head_features, dtype=dt)(feat)
+            head_dt = dt if slim else jnp.float32
+            fin = feat if slim else feat.astype(jnp.float32)
+
         hm = nn.Conv(NUM_CLASSES, (3, 3), dtype=head_dt,
                      bias_init=nn.initializers.constant(-4.59))(  # prior ~0.01
                          fin).astype(jnp.float32)
@@ -146,12 +199,14 @@ class SignCenterNet(nn.Module):
 # ---------------------------------------------------------------------------
 
 
-def decode_detections(outputs: dict, k: int, score_threshold: float):
+def decode_detections(outputs: dict, k: int, score_threshold: float,
+                      stride: int = STRIDE):
     """Turn head outputs into top-k boxes per frame.
 
     Returns (boxes [B,k,4] float32 xyxy pixels, cls [B,k] int32 1..6,
     scores [B,k] float32, valid [B,k] bool).  The 3x3 max-pool equality test
     is the NMS: a cell survives iff it is the local maximum of its class map.
+    ``stride`` is the head-grid stride (8 for base/slim, 16 for v2s16*).
     """
     prob = jax.nn.sigmoid(outputs["hm"])              # [B,Hc,Wc,C]
     b, hc, wc, c = prob.shape
@@ -170,10 +225,10 @@ def decode_detections(outputs: dict, k: int, score_threshold: float):
 
     wh = jnp.maximum(_gather_map(outputs["size"]), 0.0)   # grid units
     off = jnp.clip(_gather_map(outputs["off"]), 0.0, 1.0)
-    pcx = (cx + off[..., 0]) * STRIDE
-    pcy = (cy + off[..., 1]) * STRIDE
-    pw = wh[..., 0] * STRIDE
-    ph = wh[..., 1] * STRIDE
+    pcx = (cx + off[..., 0]) * stride
+    pcy = (cy + off[..., 1]) * stride
+    pw = wh[..., 0] * stride
+    ph = wh[..., 1] * stride
     boxes = jnp.stack(
         [pcx - pw / 2, pcy - ph / 2, pcx + pw / 2, pcy + ph / 2], axis=-1)
     valid = (scores >= score_threshold) & (pw > 2) & (ph > 2)
@@ -185,11 +240,24 @@ def decode_detections(outputs: dict, k: int, score_threshold: float):
 # ---------------------------------------------------------------------------
 
 
-def save_params(path: str, params) -> None:
+def save_params(path: str, params, arch: str | None = None) -> None:
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     arrays = {jax.tree_util.keystr(kp): np.asarray(v) for kp, v in flat}
+    if arch is not None:
+        # arch metadata rides in the npz so loaders never need an arch flag
+        # (a base-arch retrain used to silently break every slim-default
+        # consumer — ADVICE r3 #1)
+        arrays["__arch__"] = np.asarray(arch)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.savez(path, **arrays)
+
+
+def saved_arch(path: str) -> str | None:
+    """Read the arch tag stored in a checkpoint, if present."""
+    with np.load(path) as data:
+        if "__arch__" in data.files:
+            return str(data["__arch__"])
+    return None
 
 
 def load_params(path: str, template):
@@ -224,7 +292,7 @@ def init_params(cfg: CNNDetectorConfig, seed: int = 0,
 @partial(jax.jit, static_argnums=(0, 3, 4))
 def _detect_jit(cfg: CNNDetectorConfig, params, frames_u8, k, thresh):
     out = SignCenterNet(cfg).apply({"params": params}, frames_u8)
-    return decode_detections(out, k, thresh)
+    return decode_detections(out, k, thresh, cfg.stride)
 
 
 class CNNDetector:
@@ -240,12 +308,15 @@ class CNNDetector:
 
     @classmethod
     def load(cls, path: str, cfg: CNNDetectorConfig | None = None):
-        cfg = cfg or CNNDetectorConfig()
+        if cfg is None:
+            arch = saved_arch(path)
+            cfg = (CNNDetectorConfig(arch=arch) if arch is not None
+                   else CNNDetectorConfig())
         template = init_params(cfg)
         return cls(load_params(path, template), cfg)
 
     def save(self, path: str) -> None:
-        save_params(path, self.params)
+        save_params(path, self.params, arch=self.cfg.arch)
 
     def dispatch(self, frames: np.ndarray):
         """frames uint8 [B,H,W,3] BGR with H,W multiples of 16."""

@@ -25,7 +25,7 @@ offsets and box sizes at the positive cells.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from functools import partial
 
 import jax
@@ -35,6 +35,8 @@ import optax
 
 from ..data.gt import load_ground_truth, boxes_by_file
 from ..data.images import list_frame_files, load_image_bgr
+import flax.linen as nn
+
 from .cnn_detector import (
     NUM_CLASSES,
     STRIDE,
@@ -190,21 +192,22 @@ def _gaussian_radius(w, h, min_overlap=0.7):
     return jnp.maximum(jnp.minimum(jnp.minimum(r1, r2), r3), 1.0)
 
 
-def make_targets(boxes, cls, grid_h: int, grid_w: int):
+def make_targets(boxes, cls, grid_h: int, grid_w: int, stride: int = STRIDE):
     """Render one crop's gt into CenterNet targets.
 
     boxes [M,4] crop pixels, cls [M] (0 pad, -1 ignore, 1..6 sign).
     Returns (hm [H,W,C], wh [H,W,2], off [H,W,2], pos_mask [H,W],
     loss_mask [H,W,C]); ignore boxes zero the loss_mask under their extent.
+    ``stride`` must match the model's head-grid stride (cfg.stride).
     """
     ys = jnp.arange(grid_h, dtype=jnp.float32)
     xs = jnp.arange(grid_w, dtype=jnp.float32)
     gy, gx = jnp.meshgrid(ys, xs, indexing="ij")        # [H,W]
 
-    w = (boxes[:, 2] - boxes[:, 0]) / STRIDE            # grid units
-    h = (boxes[:, 3] - boxes[:, 1]) / STRIDE
-    cx = (boxes[:, 0] + boxes[:, 2]) / 2 / STRIDE
-    cy = (boxes[:, 1] + boxes[:, 3]) / 2 / STRIDE
+    w = (boxes[:, 2] - boxes[:, 0]) / stride            # grid units
+    h = (boxes[:, 3] - boxes[:, 1]) / stride
+    cx = (boxes[:, 0] + boxes[:, 2]) / 2 / stride
+    cy = (boxes[:, 1] + boxes[:, 3]) / 2 / stride
     valid = cls > 0
 
     # positive cells: the (clamped) integer center of each valid box.  The
@@ -238,10 +241,10 @@ def make_targets(boxes, cls, grid_h: int, grid_w: int):
 
     # ignore regions: zero the heatmap loss everywhere an unmapped gt lives
     ign = cls == -1
-    ix1 = jnp.floor(boxes[:, 0] / STRIDE)
-    iy1 = jnp.floor(boxes[:, 1] / STRIDE)
-    ix2 = jnp.ceil(boxes[:, 2] / STRIDE)
-    iy2 = jnp.ceil(boxes[:, 3] / STRIDE)
+    ix1 = jnp.floor(boxes[:, 0] / stride)
+    iy1 = jnp.floor(boxes[:, 1] / stride)
+    ix2 = jnp.ceil(boxes[:, 2] / stride)
+    iy2 = jnp.ceil(boxes[:, 3] / stride)
     covered = ((gx[None] >= ix1[:, None, None]) & (gx[None] <= ix2[:, None, None])
                & (gy[None] >= iy1[:, None, None]) & (gy[None] <= iy2[:, None, None]))
     covered = covered & ign[:, None, None]
@@ -278,6 +281,105 @@ def centernet_loss(outputs, targets, cfg: TrainConfig):
 
 
 # ---------------------------------------------------------------------------
+# v3 training twin: BatchNorm at train time, folded away at export
+# ---------------------------------------------------------------------------
+
+
+class SignCenterNetV3Train(nn.Module):
+    """BatchNorm twin of the ``arch="v3"`` inference network.
+
+    Same conv topology as ``SignCenterNet(arch="v3")`` but every trunk conv
+    is bias-free and followed by BatchNorm.  At export
+    ``fold_v3_batchnorm`` folds each BN's affine + running statistics into
+    the preceding conv's kernel/bias, producing the inference module's
+    parameter tree exactly — the product path then carries no norm layers
+    at all (the decisive 1080p-throughput lever: GroupNorm's f32 passes
+    cost ~2.6 ms per 128-frame batch and cannot be folded because its
+    statistics are data-dependent at inference).
+    """
+
+    cfg: CNNDetectorConfig = field(default_factory=lambda: CNNDetectorConfig(arch="v3"))
+
+    @nn.compact
+    def __call__(self, frames_u8, train: bool = True):
+        dt = self.cfg.compute_dtype()
+        x = frames_u8.astype(dt) * jnp.asarray(1.0 / 255.0, dt) \
+            - jnp.asarray(0.5, dt)
+
+        def block(x, feats, kernel, strides):
+            x = nn.Conv(feats, kernel, strides=strides, use_bias=False,
+                        dtype=dt)(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             dtype=jnp.float32)(x)
+            return nn.relu(x)
+
+        x = block(x, 64, (8, 8), (8, 8))      # patchify, s8
+        x = block(x, 128, (3, 3), (2, 2))     # s16
+        x = block(x, 128, (3, 3), (1, 1))
+        fin = block(x, 128, (3, 3), (1, 1))
+        hm = nn.Conv(NUM_CLASSES, (3, 3), dtype=dt,
+                     bias_init=nn.initializers.constant(-4.59))(
+                         fin).astype(jnp.float32)
+        size = nn.Conv(2, (3, 3), dtype=dt)(fin).astype(jnp.float32)
+        off = nn.Conv(2, (3, 3), dtype=dt)(fin).astype(jnp.float32)
+        return {"hm": hm, "size": size, "off": off}
+
+
+def fold_v3_batchnorm(params: dict, batch_stats: dict) -> dict:
+    """Fold BatchNorm into the convs: train-params -> inference-params.
+
+    y = BN(conv(x)) = conv(x) * g/sqrt(v+eps) + (b - m*g/sqrt(v+eps)), so
+    kernel' = kernel * g/sqrt(v+eps) (per output channel) and
+    bias' = b - m*g/sqrt(v+eps).  Head convs (Conv_4..6) pass through.
+    Returns the exact parameter tree of ``SignCenterNet(arch="v3")``.
+    """
+    eps = 1e-5  # flax nn.BatchNorm default
+    folded: dict = {}
+    for i in range(4):
+        conv = params[f"Conv_{i}"]
+        bn = params[f"BatchNorm_{i}"]
+        stats = batch_stats[f"BatchNorm_{i}"]
+        scale = bn["scale"] / jnp.sqrt(stats["var"] + eps)
+        folded[f"Conv_{i}"] = {
+            "kernel": conv["kernel"] * scale,          # broadcasts over O
+            "bias": bn["bias"] - stats["mean"] * scale,
+        }
+    for i in range(4, 7):
+        folded[f"Conv_{i}"] = dict(params[f"Conv_{i}"])
+    return jax.tree.map(jnp.asarray, folded)
+
+
+def make_v3_train_step(model_cfg: CNNDetectorConfig, cfg: TrainConfig):
+    """v3 step: like make_train_step but threads BatchNorm batch_stats."""
+    model = SignCenterNetV3Train(model_cfg)
+    tx = make_optimizer(cfg)
+    grid = CROP // model_cfg.stride
+
+    def loss_fn(params, stats, imgs, boxes, cls):
+        out, upd = model.apply({"params": params, "batch_stats": stats},
+                               imgs, train=True, mutable=["batch_stats"])
+        tgt = jax.vmap(partial(make_targets, grid_h=grid, grid_w=grid,
+                               stride=model_cfg.stride))(boxes, cls)
+        total, parts = centernet_loss(out, tgt, cfg)
+        return total, (parts, upd["batch_stats"])
+
+    def train_step(params, stats, opt_state, data, step):
+        key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), step)
+        keys = jax.random.split(key, cfg.batch_size)
+        imgs, boxes, cls = jax.vmap(partial(
+            _sample_crop, frames=data["frames"], boxes=data["boxes"],
+            cls=data["cls"], pos=data["pos"], min_zoom=cfg.min_zoom,
+            max_zoom=cfg.max_zoom, pos_fraction=cfg.pos_fraction))(keys)
+        (loss, (parts, stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, stats, imgs, boxes, cls)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, stats, opt_state, {"loss": loss, **parts}
+
+    return train_step
+
+
+# ---------------------------------------------------------------------------
 # Train step factory
 # ---------------------------------------------------------------------------
 
@@ -292,12 +394,12 @@ def make_train_step(model_cfg: CNNDetectorConfig, cfg: TrainConfig):
     """Returns jittable (params, opt_state, data, step) -> (params, opt_state, metrics)."""
     model = SignCenterNet(model_cfg)
     tx = make_optimizer(cfg)
-    grid = CROP // STRIDE
+    grid = CROP // model_cfg.stride
 
     def loss_fn(params, imgs, boxes, cls):
         out = model.apply({"params": params}, imgs)
-        tgt = jax.vmap(partial(make_targets, grid_h=grid, grid_w=grid))(
-            boxes, cls)
+        tgt = jax.vmap(partial(make_targets, grid_h=grid, grid_w=grid,
+                               stride=model_cfg.stride))(boxes, cls)
         return centernet_loss(out, tgt, cfg)
 
     def train_step(params, opt_state, data, step):
@@ -319,15 +421,36 @@ def make_train_step(model_cfg: CNNDetectorConfig, cfg: TrainConfig):
 def train(data: dict, model_cfg: CNNDetectorConfig | None = None,
           cfg: TrainConfig | None = None, log_every: int = 200,
           log_fn=print):
-    """Full training run; data from build_dataset (numpy, moved once)."""
+    """Full training run; data from build_dataset (numpy, moved once).
+
+    For ``arch="v3"`` the loop trains the BatchNorm twin and returns the
+    FOLDED inference parameters, so callers (save/CNNDetector) are
+    arch-agnostic.
+    """
     model_cfg = model_cfg or CNNDetectorConfig()
     cfg = cfg or TrainConfig()
+    ddata = jax.device_put({k: jnp.asarray(v) for k, v in data.items()})
+    metrics = {}
+    if model_cfg.arch == "v3":
+        model = SignCenterNetV3Train(model_cfg)
+        variables = model.init(jax.random.PRNGKey(cfg.seed),
+                               jnp.zeros((1, CROP, CROP, 3), jnp.uint8))
+        params, stats = variables["params"], variables["batch_stats"]
+        tx = make_optimizer(cfg)
+        opt_state = tx.init(params)
+        step_fn = jax.jit(make_v3_train_step(model_cfg, cfg),
+                          donate_argnums=(0, 1, 2))
+        for step in range(cfg.steps):
+            params, stats, opt_state, metrics = step_fn(
+                params, stats, opt_state, ddata, jnp.int32(step))
+            if log_every and (step % log_every == 0 or step == cfg.steps - 1):
+                log_fn(f"step {step}: " + " ".join(
+                    f"{k}={float(v):.4f}" for k, v in metrics.items()))
+        return fold_v3_batchnorm(params, stats), metrics
     params = init_params(model_cfg, cfg.seed, (CROP, CROP))
     tx = make_optimizer(cfg)
     opt_state = tx.init(params)
     step_fn = jax.jit(make_train_step(model_cfg, cfg), donate_argnums=(0, 1))
-    ddata = jax.device_put({k: jnp.asarray(v) for k, v in data.items()})
-    metrics = {}
     for step in range(cfg.steps):
         params, opt_state, metrics = step_fn(params, opt_state, ddata,
                                              jnp.int32(step))

@@ -30,7 +30,6 @@ from ..models.cnn_train import (
     make_optimizer,
     make_targets,
 )
-from ..models.cnn_detector import STRIDE
 from .mesh import DATA_AXIS
 
 
@@ -93,13 +92,13 @@ def make_spmd_cnn_train_step(mesh, model_cfg: CNNDetectorConfig,
     """
     model = SignCenterNet(model_cfg)
     tx = make_optimizer(cfg)
-    grid = CROP // STRIDE
+    grid = CROP // model_cfg.stride
     n_dev = mesh.devices.size
 
     def loss_fn(params, imgs, boxes, cls):
         out = model.apply({"params": params}, imgs)
-        tgt = jax.vmap(partial(make_targets, grid_h=grid, grid_w=grid))(
-            boxes, cls)
+        tgt = jax.vmap(partial(make_targets, grid_h=grid, grid_w=grid,
+                               stride=model_cfg.stride))(boxes, cls)
         return centernet_loss(out, tgt, cfg)
 
     def local_grads(params, frames, boxes, cls, pos, step):

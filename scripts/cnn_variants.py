@@ -163,12 +163,42 @@ VARIANTS = {
 }
 
 
+def product_timing(arch: str, batch: int, size: str, iters: int) -> None:
+    """Time the PRODUCT inference path (forward + decode via _detect_jit)
+    with fresh-init params — the scope that decides the bench headline.
+    Decode is included because at >2000 fps the s8 top-k is a material
+    fraction of the frame budget (PARITY.md r3)."""
+    h, w = (1088, 1920) if size == "1080p" else (800, 1360)
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.integers(0, 256, (batch, h, w, 3), np.uint8))
+    cfg = cd.CNNDetectorConfig(arch=arch)
+    det = cd.CNNDetector(cd.init_params(cfg), cfg)
+    out = det.dispatch(frames)
+    np.asarray(out[2][0, 0])
+    t0 = time.perf_counter()
+    outs = [det.dispatch(frames) for _ in range(iters)]
+    np.asarray(outs[-1][2][0, 0])
+    dt = time.perf_counter() - t0
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(det.params))
+    print(f"{arch:10s} product batch={batch} {size} "
+          f"{dt / iters * 1e3:8.2f} ms/batch "
+          f"{iters * batch / dt:8.1f} fps  ({n_params/1e3:.0f}k params)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--size", default="1080p", choices=["1080p", "gtsdb"])
-    ap.add_argument("--variant", default="base", choices=sorted(VARIANTS))
+    ap.add_argument("--variant", default="base",
+                    choices=sorted(VARIANTS) + ["product"])
+    ap.add_argument("--arch", default="slim",
+                    help="product mode: CNNDetectorConfig arch to time")
+    ap.add_argument("--iters", type=int, default=12)
     args = ap.parse_args()
+
+    if args.variant == "product":
+        product_timing(args.arch, args.batch, args.size, args.iters)
+        return
 
     h, w = (1088, 1920) if args.size == "1080p" else (800, 1360)
     rng = np.random.default_rng(0)

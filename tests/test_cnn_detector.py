@@ -129,3 +129,72 @@ def test_train_step_reduces_loss():
     assert np.isfinite(losses).all()
     # per-step loss is noisy (random crops/zooms); compare window means
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+@pytest.mark.slow
+def test_v3_fold_matches_bn_eval_and_arch_roundtrip(tmp_path):
+    """fold_v3_batchnorm must reproduce the BN-eval forward exactly (up to
+    bf16 rounding), and the arch tag stored in the npz must let
+    CNNDetector.load rebuild a v3 config with stride-16 decode."""
+    cfg = cd.CNNDetectorConfig(arch="v3", max_detections=8,
+                               score_threshold=0.0)
+    assert cfg.stride == 16
+    m = ct.SignCenterNetV3Train(cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, 256, (2, 64, 64, 3), np.uint8))
+    v = m.init(jax.random.PRNGKey(0), x)
+    params, stats = v["params"], v["batch_stats"]
+    # perturb so the fold isn't trivially identity (fresh stats are 0/1)
+    stats = jax.tree.map(
+        lambda a: a + jnp.asarray(
+            0.3 * rng.standard_normal(a.shape) ** 2, a.dtype), stats)
+    params = jax.tree.map(
+        lambda a: a + jnp.asarray(
+            0.05 * rng.standard_normal(a.shape), a.dtype), params)
+    out_bn = m.apply({"params": params, "batch_stats": stats}, x,
+                     train=False)
+    folded = ct.fold_v3_batchnorm(params, stats)
+    out_f = cd.SignCenterNet(cfg).apply({"params": folded}, x)
+    for k in out_bn:
+        np.testing.assert_allclose(np.asarray(out_bn[k]),
+                                   np.asarray(out_f[k]), atol=5e-2,
+                                   rtol=2e-2)
+
+    path = str(tmp_path / "v3.npz")
+    cd.save_params(path, folded, arch="v3")
+    assert cd.saved_arch(path) == "v3"
+    det = cd.CNNDetector.load(path)  # no cfg: arch comes from the npz
+    assert det.cfg.arch == "v3" and det.cfg.stride == 16
+    out = det.dispatch(x)
+    assert out[0].shape == (2, det.cfg.max_detections, 4)
+
+
+@pytest.mark.slow
+def test_v3_train_step_reduces_loss():
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (3, ct.SLICE + 64, ct.SLICE + 64, 3),
+                          dtype=np.uint8)
+    boxes = np.zeros((3, ct.MAX_GT, 4), np.float32)
+    cls = np.zeros((3, ct.MAX_GT), np.int32)
+    for i in range(3):
+        boxes[i, 0] = (200, 200, 260, 260)
+        cls[i, 0] = (i % cd.NUM_CLASSES) + 1
+    data = {"frames": jnp.asarray(frames), "boxes": jnp.asarray(boxes),
+            "cls": jnp.asarray(cls),
+            "pos": jnp.asarray([[i, 230.0, 230.0] for i in range(3)],
+                               jnp.float32)}
+    tcfg = ct.TrainConfig(batch_size=2, steps=30, warmup_steps=3, lr=1e-3,
+                          pos_fraction=1.0)
+    mcfg = cd.CNNDetectorConfig(arch="v3")
+    step = jax.jit(ct.make_v3_train_step(mcfg, tcfg))
+    v = ct.SignCenterNetV3Train(mcfg).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, ct.CROP, ct.CROP, 3), jnp.uint8))
+    params, stats = v["params"], v["batch_stats"]
+    opt_state = ct.make_optimizer(tcfg).init(params)
+    losses = []
+    for s in range(tcfg.steps):
+        params, stats, opt_state, m = step(params, stats, opt_state, data,
+                                           jnp.int32(s))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
