@@ -59,14 +59,19 @@ def _run_cnn(args) -> int:
     """CNN-family orchestration: same 4 stages, trained weights instead of
     mean-mask templates.  Spec grammar: ``CNN`` or ``CNN_<scoreThreshold>``."""
     import dataclasses as _dc
+    import os as _os
 
     from opencv_traffic_sign_detector_tpu.models.cnn_detector import (
         CNNDetector,
         CNNDetectorConfig,
+        saved_meta,
     )
 
     parts = args.detector.split("_")
-    cfg = CNNDetectorConfig()
+    # arch + shipped operating threshold come from the checkpoint's own
+    # metadata tags; the CNN_<thr> spec only overrides the threshold
+    cfg = CNNDetectorConfig(**(saved_meta(args.cnn_params)
+                               if _os.path.exists(args.cnn_params) else {}))
     if len(parts) > 2 or (len(parts) == 2 and not parts[1]):
         print(f"Invalid detector spec: {args.detector!r}\n{USAGE_HINT}")
         return 2

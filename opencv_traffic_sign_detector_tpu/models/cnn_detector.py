@@ -70,10 +70,17 @@ class CNNDetectorConfig:
     # "v2s16"/"v2s16wide": the whole trunk at stride 16 (width 192/256),
     # heads + decode on the s16 grid — quarters both the head-conv grid and
     # the decode top-k input.  Sub-cell offsets carry center precision.
+    # "v3" (the SHIPPED flagship): see the __call__ branch — 5172 fps at
+    # 1080p / 10279 fps at 1360x800 (batch 128 device queue), 48k-step
+    # weights measure F1 0.83 / AP-max 0.933 at the 1080p operating point
+    # and F1 0.81 / AP-max 0.875 at native GTSDB (PARITY.md round 4).
+    # Default stays "slim" for constructor back-compat; product loaders
+    # take the arch from the checkpoint's own __arch__ tag.
     arch: str = "slim"
     max_detections: int = 32
-    # F1-optimal operating point on the GTSDB test set (P 0.96 / R 0.72 /
-    # F1 0.83); lower toward 0.2 for AP-max (0.9114), raise for precision.
+    # Operating point; the shipped v3 checkpoint tags 0.35 (its F1-optimal
+    # band is 0.35-0.45 — PARITY.md round-4 sweep), slim's was 0.50.
+    # Lower toward 0.2 for AP-max, raise for precision.
     score_threshold: float = 0.50
     dtype: str = "bfloat16"
 
@@ -240,24 +247,35 @@ def decode_detections(outputs: dict, k: int, score_threshold: float,
 # ---------------------------------------------------------------------------
 
 
-def save_params(path: str, params, arch: str | None = None) -> None:
+def save_params(path: str, params, arch: str | None = None,
+                score_threshold: float | None = None) -> None:
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     arrays = {jax.tree_util.keystr(kp): np.asarray(v) for kp, v in flat}
     if arch is not None:
-        # arch metadata rides in the npz so loaders never need an arch flag
-        # (a base-arch retrain used to silently break every slim-default
-        # consumer — ADVICE r3 #1)
+        # arch + operating-point metadata ride in the npz so loaders never
+        # need an arch flag (a base-arch retrain used to silently break
+        # every slim-default consumer — ADVICE r3 #1)
         arrays["__arch__"] = np.asarray(arch)
+    if score_threshold is not None:
+        arrays["__threshold__"] = np.asarray(score_threshold, np.float32)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.savez(path, **arrays)
 
 
-def saved_arch(path: str) -> str | None:
-    """Read the arch tag stored in a checkpoint, if present."""
+def saved_meta(path: str) -> dict:
+    """Read the metadata tags stored in a checkpoint (may be empty)."""
+    meta: dict = {}
     with np.load(path) as data:
         if "__arch__" in data.files:
-            return str(data["__arch__"])
-    return None
+            meta["arch"] = str(data["__arch__"])
+        if "__threshold__" in data.files:
+            meta["score_threshold"] = float(data["__threshold__"])
+    return meta
+
+
+def saved_arch(path: str) -> str | None:
+    """Read the arch tag stored in a checkpoint, if present."""
+    return saved_meta(path).get("arch")
 
 
 def load_params(path: str, template):
@@ -309,14 +327,13 @@ class CNNDetector:
     @classmethod
     def load(cls, path: str, cfg: CNNDetectorConfig | None = None):
         if cfg is None:
-            arch = saved_arch(path)
-            cfg = (CNNDetectorConfig(arch=arch) if arch is not None
-                   else CNNDetectorConfig())
+            cfg = CNNDetectorConfig(**saved_meta(path))
         template = init_params(cfg)
         return cls(load_params(path, template), cfg)
 
     def save(self, path: str) -> None:
-        save_params(path, self.params, arch=self.cfg.arch)
+        save_params(path, self.params, arch=self.cfg.arch,
+                    score_threshold=self.cfg.score_threshold)
 
     def dispatch(self, frames: np.ndarray):
         """frames uint8 [B,H,W,3] BGR with H,W multiples of 16."""

@@ -54,10 +54,12 @@ def main():
 
     h, w = (1088, 1920) if args.size == "1080p" else (800, 1360)
     b = args.batch
-    cfg = cd.CNNDetectorConfig()
-    params = cd.CNNDetector.load(cd.__file__.replace(
+    ckpt = cd.__file__.replace(
         "opencv_traffic_sign_detector_tpu/models/cnn_detector.py",
-        "artifacts/cnn_detector/params.npz"), cfg).params
+        "artifacts/cnn_detector/params.npz")
+    det = cd.CNNDetector.load(ckpt)  # arch/threshold from the npz tags
+    cfg, params = det.cfg, det.params
+    print(f"arch {cfg.arch} (stride {cfg.stride})")
 
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.integers(0, 256, (b, h, w, 3), np.uint8))
@@ -67,14 +69,15 @@ def main():
     fwd = jax.jit(lambda p, f: model.apply({"params": p}, f))
     full = jax.jit(lambda p, f: cd.decode_detections(
         model.apply({"params": p}, f), cfg.max_detections,
-        cfg.score_threshold))
+        cfg.score_threshold, cfg.stride))
 
     t_full = timeit(full, params, frames)
     t_fwd = timeit(fwd, params, frames)
     out = fwd(params, frames)
     out = jax.tree.map(lambda x: jax.block_until_ready(x), out)
     dec = jax.jit(lambda o: cd.decode_detections(o, cfg.max_detections,
-                                                 cfg.score_threshold))
+                                                 cfg.score_threshold,
+                                                 cfg.stride))
     t_dec = timeit(dec, out)
 
     # FLOP model of the network (see SignCenterNet.__call__)
@@ -82,7 +85,15 @@ def main():
     s8 = (h // 8) * (w // 8)
     s16 = (h // 16) * (w // 16)
     f = cfg
-    if f.arch == "slim":
+    if f.arch == "v3":
+        flops = (
+            conv_flops(s8, 3, 64, k=64) +        # 8x8 patchify
+            conv_flops(s16, 64, 128) +
+            conv_flops(s16, 128, 128) * 2 +
+            conv_flops(s16, 128, 6) +
+            conv_flops(s16, 128, 2) * 2
+        ) * b
+    elif f.arch == "slim":
         flops = (
             conv_flops(s8, 48, f.stem_features) +
             conv_flops(s8, f.stem_features, f.mid_features) +
@@ -121,21 +132,38 @@ def main():
     if not args.segments:
         return
 
-    # Segment timings: run truncated networks to attribute time.
+    # Segment timings: run truncated networks to attribute time.  The
+    # prefix block list is branched on cfg.arch so segment deltas attribute
+    # the network actually being profiled (ADVICE r3 #5).
     dt = cfg.compute_dtype()
 
     def stem_only(p, fr):
         x = fr.astype(dt) / 255.0 - 0.5
-        x = cd._space_to_depth(x, 4)
-        import flax.linen as nn
+        if cfg.arch != "v3":
+            x = cd._space_to_depth(x, 4)
         return x
 
     x0 = jax.jit(stem_only)(params, frames)
     jax.block_until_ready(x0)
-    print(f"space_to_depth+norm: {timeit(jax.jit(stem_only), params, frames)*1e3:.2f} ms")
+    print(f"input prep:         {timeit(jax.jit(stem_only), params, frames)*1e3:.2f} ms")
 
-    # per-conv-block attribution via incremental prefixes
     import flax.linen as nn
+
+    # (features, stride, kernel) per trunk conv, per arch
+    if cfg.arch == "v3":
+        ARCH_BLOCKS = [(64, 8, 8), (128, 2, 3), (128, 1, 3), (128, 1, 3)]
+    elif cfg.arch == "slim":
+        ARCH_BLOCKS = [
+            (cfg.stem_features, 2, 3), (cfg.mid_features, 1, 3),
+            (cfg.mid_features, 2, 3), (cfg.deep_features, 1, 3),
+            (cfg.deep_features, 1, 3),
+        ]
+    else:  # base
+        ARCH_BLOCKS = [
+            (cfg.stem_features, 1, 3), (cfg.stem_features, 2, 3),
+            (cfg.mid_features, 1, 3), (cfg.mid_features, 2, 3),
+            (cfg.deep_features, 1, 3), (cfg.deep_features, 1, 3),
+        ]
 
     class Prefix(nn.Module):
         cfg: cd.CNNDetectorConfig
@@ -146,21 +174,19 @@ def main():
             c = self.cfg
             dtt = c.compute_dtype()
             x = fr.astype(dtt) / 255.0 - 0.5
-            x = cd._space_to_depth(x, 4)
-            blocks = [
-                (c.stem_features, 1), (c.stem_features, 2), (c.mid_features, 1),
-                (c.mid_features, 2), (c.deep_features, 1), (c.deep_features, 1),
-            ]
-            outs = []
-            s8_feat = None
-            for i, (feat, stride) in enumerate(blocks[: self.depth]):
-                x = cd._ConvBlock(feat, stride=stride, dtype=dtt)(x)
-                if i == 2:
-                    s8_feat = x
+            if c.arch != "v3":
+                x = cd._space_to_depth(x, 4)
+            for feat, stride, k in ARCH_BLOCKS[: self.depth]:
+                if c.arch == "v3":
+                    x = nn.relu(nn.Conv(feat, (k, k),
+                                        strides=(stride, stride),
+                                        dtype=dtt)(x))
+                else:
+                    x = cd._ConvBlock(feat, stride=stride, dtype=dtt)(x)
             return x.sum()
 
     prev = 0.0
-    for d in range(1, 7):
+    for d in range(1, len(ARCH_BLOCKS) + 1):
         m = Prefix(cfg, d)
         p = m.init(jax.random.PRNGKey(0), frames[:1])
         fn = jax.jit(lambda pp, fr: m.apply(pp, fr))

@@ -8,6 +8,14 @@ Runs ONE low-threshold inference pass over the full test set, then
 re-filters the detection list at each threshold and scores it with the
 parity stats engine + PASCAL AP — the same protocol as the PARITY.md
 operating-point table.
+
+``--input_scale 1080p`` measures quality AT the north-star operating
+point: test frames are bilinearly scaled 1360x800 -> 1920x1088 on device
+(the resolution the fps headline is measured at), the detector runs on the
+scaled frames, and its boxes are mapped back to native coordinates before
+scoring — so both the stats engine's pixel-distance matcher and the PASCAL
+AP stay in the reference's native coordinate space (protocol:
+``Reconocimiento de Objetos/evaluar_resultados.py:199-320``).
 """
 
 import argparse
@@ -24,13 +32,20 @@ DET_DATA = "/root/reference/Deteción de Objetos"
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--params", default="artifacts/cnn_detector/params.npz")
-    ap.add_argument("--arch", default="base", choices=["base", "slim"])
+    ap.add_argument("--arch", default=None,
+                    help="override the arch tag stored in the npz")
     ap.add_argument("--test_path",
                     default=os.path.join(DET_DATA, "test_alumnos_jpg"))
     ap.add_argument("--thresholds", default="0.2,0.3,0.35,0.4,0.45,0.5,0.6")
     ap.add_argument("--eval_batch", type=int, default=8)
+    ap.add_argument("--input_scale", default="native",
+                    choices=["native", "1080p"])
     args = ap.parse_args()
 
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from opencv_traffic_sign_detector_tpu.data.images import (
@@ -42,8 +57,19 @@ def main():
     from opencv_traffic_sign_detector_tpu.utils.serialization import (
         write_results_file)
 
-    cfg = cd.CNNDetectorConfig(score_threshold=0.1, arch=args.arch)
+    arch = args.arch or cd.saved_arch(args.params) or "base"
+    cfg = cd.CNNDetectorConfig(score_threshold=0.1, arch=arch)
     det = cd.CNNDetector.load(args.params, cfg)
+    print(f"arch {arch}, input_scale {args.input_scale}")
+
+    hd = args.input_scale == "1080p"
+    if hd:
+        @jax.jit
+        def _upscale(frames_u8):
+            b = frames_u8.shape[0]
+            out = jax.image.resize(frames_u8.astype(jnp.float32),
+                                   (b, 1088, 1920, 3), "bilinear")
+            return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
 
     files = list_frame_files(args.test_path)
     dets = []
@@ -52,8 +78,21 @@ def main():
         chunk = files[i:i + args.eval_batch]
         frames = np.stack([load_image_bgr(os.path.join(args.test_path, f))
                            for f in chunk])
-        dets.extend(det.detect_frames(frames, chunk,
-                                      orig_hw=frames.shape[1:3]))
+        if hd:
+            sy = 1088.0 / frames.shape[1]
+            sx = 1920.0 / frames.shape[2]
+            native_hw = frames.shape[1:3]
+            frames = np.asarray(_upscale(jnp.asarray(frames)))
+            for d in det.detect_frames(frames, chunk, orig_hw=(1088, 1920)):
+                dets.append(dataclasses.replace(
+                    d,
+                    x1=int(np.clip(round(d.x1 / sx), 0, native_hw[1] - 1)),
+                    x2=int(np.clip(round(d.x2 / sx), 0, native_hw[1] - 1)),
+                    y1=int(np.clip(round(d.y1 / sy), 0, native_hw[0] - 1)),
+                    y2=int(np.clip(round(d.y2 / sy), 0, native_hw[0] - 1))))
+        else:
+            dets.extend(det.detect_frames(frames, chunk,
+                                          orig_hw=frames.shape[1:3]))
     print(f"{len(dets)} detections at thr 0.1 over {len(files)} frames "
           f"({time.time() - t0:.1f}s)")
 

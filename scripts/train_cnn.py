@@ -30,10 +30,10 @@ def main():
     parser.add_argument("--lr", type=float, default=2.5e-4)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--threshold", type=float, default=0.35)
-    # default matches CNNDetectorConfig's default so a quickstart retrain
-    # reproduces the shipped arch (ADVICE r3 #1); the arch tag is also
-    # stored in the npz so loaders auto-detect it either way.
-    parser.add_argument("--arch", default="slim",
+    # default = the shipped flagship arch so a quickstart retrain
+    # reproduces it (ADVICE r3 #1); the arch + threshold tags are also
+    # stored in the npz so loaders auto-detect them either way.
+    parser.add_argument("--arch", default="v3",
                         choices=["base", "slim", "v2wide", "v2s16",
                                  "v2s16wide", "v3"])
     parser.add_argument("--out", default="artifacts/cnn_detector/params.npz")

@@ -90,10 +90,13 @@ def main(argv=None) -> int:
         from opencv_traffic_sign_detector_tpu.models.cnn_detector import (
             CNNDetector,
             CNNDetectorConfig,
+            saved_meta,
         )
 
         parts = args.detector.split("_")
-        ccfg = CNNDetectorConfig()
+        ccfg = CNNDetectorConfig(**(saved_meta(args.cnn_params)
+                                    if os.path.exists(args.cnn_params)
+                                    else {}))
         if len(parts) == 2:
             try:
                 ccfg = _dc.replace(ccfg, score_threshold=float(parts[1]))
@@ -116,14 +119,22 @@ def main(argv=None) -> int:
             CNNDetector.dispatch's jnp.asarray is a no-op for those.
             """
 
+            _orig_hw = None
+
             def dispatch(self, frames):
+                # capture the frame bounds so collect can clip CNN boxes to
+                # the image (near-edge boxes otherwise leave the frame —
+                # ADVICE r3 #3; mirrors CNNDetector.run_directory)
+                self._orig_hw = (int(frames.shape[1]), int(frames.shape[2]))
                 return cnn.dispatch(frames)
 
             def collect(self, out, names, batch):
-                return cnn.collect(out, names)
+                return cnn.collect(out, names, orig_hw=self._orig_hw)
 
             def detect_frames(self, frames, names):
-                return cnn.detect_frames(frames, names)
+                return cnn.detect_frames(
+                    frames, names,
+                    orig_hw=(int(frames.shape[1]), int(frames.shape[2])))
 
         pipe = _CNNPipe()
     else:
