@@ -213,10 +213,12 @@ def _refine_boxes(im2: jnp.ndarray, seeds_yx: jnp.ndarray, levels: jnp.ndarray,
     # or full-component segmented-scan resolves when scan_passes > 0.  On
     # TPU the flood and the bbox/area reductions run fused in one kernel
     # (the flood result never leaves VMEM).
+    from .mser_pallas import force_interpret
     from .pallas_prop import flood_bbox_pallas, pallas_available_for
 
     if scan_passes > 0 and pallas_available_for(mask.shape):
-        out = flood_bbox_pallas(seed_map, mask, big, scan_passes)
+        out = flood_bbox_pallas(seed_map, mask, big, scan_passes,
+                                interpret=force_interpret())
         ymin, ymax = out[:, 0], out[:, 1]
         xmin, xmax = out[:, 2], out[:, 3]
         area = out[:, 4]
@@ -313,8 +315,13 @@ def mser_regions(gray: jnp.ndarray, cfg: MSERConfig):
 
         if c.fused_sweep and fused_sweep_ok(h, w, c):
             # fused Pallas sweep: packed pooled candidate map (strip-tiled
-            # past the VMEM budget; pooling + level collapse in-kernel)
-            best = fused_level_sweep(im2, c, d_idx, len(levels))
+            # past the VMEM budget; pooling + level collapse in-kernel).
+            # force_interpret() lets CPU CI run this exact path through the
+            # Mosaic interpreter (tests/test_pallas_interpret_lane.py).
+            from .mser_pallas import force_interpret
+
+            best = fused_level_sweep(im2, c, d_idx, len(levels),
+                                     interpret=force_interpret())
             seeds, level_vals, pol_idx, valid = pooled_topk_packed(
                 best, c, levels, d_idx
             )

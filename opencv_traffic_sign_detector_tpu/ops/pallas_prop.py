@@ -253,6 +253,10 @@ def pallas_available_for(shape: tuple[int, ...]) -> bool:
     elems = shape[-1] * shape[-2]
     if elems > _VMEM_LIMIT_ELEMS:
         return False
+    from .mser_pallas import force_interpret
+
+    if force_interpret():
+        return True
     try:
         return jax.default_backend() not in ("cpu",)
     except Exception:
