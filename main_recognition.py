@@ -81,6 +81,16 @@ def main(argv=None) -> int:
                              "inference distribution (the reference trains "
                              "on pixel-exact GT crops only, the dominant "
                              "recall limiter; see models/recognizer.py)")
+    parser.add_argument("--proposals", default="MSER",
+                        help="proposal source: MSER (reference parity) or "
+                             "CNN[_<thr>] — the flagship detector's "
+                             "low-threshold boxes (default thr 0.10) feed "
+                             "the trained classifier, breaking the MSER "
+                             "proposal-recall ceiling (0.62-0.67 coverage, "
+                             "scripts/proposal_recall.py)")
+    parser.add_argument("--cnn_params",
+                        default="artifacts/cnn_detector/params.npz",
+                        help="CNN weights for --proposals CNN")
     parser.add_argument("--n_devices", type=int, default=1,
                         help="fit the classifier with the SPMD "
                              "sufficient-statistics trainer over an "
@@ -126,6 +136,28 @@ def main(argv=None) -> int:
         return 1
 
 
+def _parse_cnn_proposals(args):
+    """--proposals CNN[_thr] -> a loaded CNNDetector at that threshold
+    (None when the source is MSER)."""
+    spec = args.proposals.upper()
+    if not spec.startswith("CNN"):
+        if spec != "MSER":
+            raise SystemExit(f"Invalid --proposals spec: {args.proposals!r} "
+                             "(MSER or CNN[_<thr>])")
+        return None
+    import dataclasses as _dc
+
+    from opencv_traffic_sign_detector_tpu.models.cnn_detector import (
+        CNNDetector,
+    )
+
+    parts = args.proposals.split("_")
+    thr = float(parts[1]) if len(parts) == 2 and parts[1] else 0.10
+    det = CNNDetector.load(args.cnn_params)
+    det.cfg = _dc.replace(det.cfg, score_threshold=thr)
+    return det
+
+
 def _run(args, mser, clf_cfg) -> int:
     if args.sweep_configs:
         return _run_sweep(args, mser)
@@ -157,6 +189,21 @@ def _run(args, mser, clf_cfg) -> int:
                   f"--xla_force_host_platform_device_count={args.n_devices}")
             return 2
         mesh = data_mesh(args.n_devices)
+    cnn_det = _parse_cnn_proposals(args)
+    proposals = None
+    if cnn_det is not None:
+        from opencv_traffic_sign_detector_tpu.models.recognizer import (
+            extract_train_proposals_cnn,
+        )
+
+        with stage("mine CNN proposals over the train set"):
+            proposals = extract_train_proposals_cnn(
+                args.train_path.replace("\\", "/"), cnn_det,
+                cache_path=args.cache, limit=args.limit,
+            )
+        n_props = sum(len(b) for b, _ in proposals.values())
+        print(f"{n_props} CNN proposals at thr "
+              f"{cnn_det.cfg.score_threshold:g}")
     with stage("train + validate classifier"):
         result = run_validation(
             args.train_path.replace("\\", "/"),
@@ -169,8 +216,11 @@ def _run(args, mser, clf_cfg) -> int:
             seed=args.seed,
             verbose=True,
             mesh=mesh,
-            proposal_positives=args.proposal_positives,
+            # CNN proposals are only useful with matched-distribution
+            # positives (round-3 diagnosis), so they imply the flag
+            proposal_positives=args.proposal_positives or cnn_det is not None,
             grows=tuple(float(g) for g in args.rec_grows.split(",")),
+            proposals=proposals,
         )
     print(f"\ntraining + validation took {time.time() - t0:.1f}s")
     print("\nconfusion matrix (rows = true, cols = predicted):")
@@ -190,7 +240,7 @@ def _run(args, mser, clf_cfg) -> int:
 
     if args.run_test:
         with stage("recognizer test-set inference"):
-            _run_test(args, mser, result)
+            _run_test(args, mser, result, cnn_det)
     return 0
 
 
@@ -251,7 +301,7 @@ def _write_confusion_plot(args, result) -> None:
     print(f"confusion matrix plot saved to {args.confusion_plot}")
 
 
-def _run_test(args, mser, result) -> None:
+def _run_test(args, mser, result, cnn_det=None) -> None:
     from opencv_traffic_sign_detector_tpu.config import PipelineConfig
     from opencv_traffic_sign_detector_tpu.models.rec_pipeline import (
         RecognitionPipeline,
@@ -261,13 +311,15 @@ def _run_test(args, mser, result) -> None:
     )
 
     test_path = args.test_path.replace("\\", "/")
-    print(f"\nrunning recognizer over {test_path} ...")
+    src = "CNN proposals" if cnn_det is not None else "MSER proposals"
+    print(f"\nrunning recognizer over {test_path} ({src}) ...")
     pipe = RecognitionPipeline(
         cfg=PipelineConfig(
             mser=mser, no_sign_tol=args.no_sign_tol,
             rec_grows=tuple(float(g) for g in args.rec_grows.split(",")),
         ),
         classifier=result.classifier,
+        cnn=cnn_det,
     )
     t0 = time.time()
     dets = pipe.run_directory(test_path, progress=True)

@@ -68,6 +68,24 @@ def load_directory_images(
     return {f: load_image_bgr(os.path.join(directory, f)) for f in files}
 
 
+def load_frames_batch(directory: str, files: list[str]) -> np.ndarray:
+    """Decode a list of same-sized frames to one [B,H,W,3] uint8 array.
+
+    Uses the native loader's pthread worker pool (runtime/loader.cpp) when
+    available — ~N_threads x the single-file decode rate — with the
+    per-file PIL path as fallback.
+    """
+    paths = [os.path.join(directory, f) for f in files]
+    native = _native_loader()
+    if native is not None and all(
+        p.lower().endswith((".jpg", ".jpeg")) for p in paths
+    ):
+        decoded = native.decode_jpeg_bgr_batch(paths)
+        if decoded is not None:
+            return np.stack(decoded)
+    return np.stack([load_image_bgr(p) for p in paths])
+
+
 def stack_frames(
     images: dict[str, np.ndarray] | list[np.ndarray],
 ) -> tuple[list[str], np.ndarray]:

@@ -8,13 +8,12 @@ with TPU compute — the input-pipeline-overlap stage of the scale-out plan
 
 from __future__ import annotations
 
-import os
 import queue
 import threading
 
 import numpy as np
 
-from .images import load_image_bgr
+from .images import load_frames_batch
 
 
 def batched_frames(
@@ -35,9 +34,8 @@ def batched_frames(
     """
 
     def assemble(chunk: list[str]):
-        frames = np.stack(
-            [load_image_bgr(os.path.join(directory, f)) for f in chunk]
-        )
+        # threaded native batch decode (runtime/loader.cpp worker pool)
+        frames = load_frames_batch(directory, chunk)
         names = list(chunk)
         if len(chunk) < batch_size:
             reps = batch_size - len(chunk)

@@ -145,13 +145,103 @@ def recognize_batch(frames, clf_arrays, cfg: PipelineConfig, features: str,
     )(frames)
 
 
+# ---------------------------------------------------------------------------
+# CNN-proposal variant (round 4): the flagship detector's low-threshold
+# boxes replace the MSER proposal stage.  MSER's proposal-recall ceiling is
+# the measured recognition-recall limiter (0.62-0.67 coverage,
+# scripts/proposal_recall.py — round-3 diagnosis); the CNN's boxes cover
+# 0.75-0.80 of GT at threshold 0.1, so the same trained HOG->LDA/KNN
+# classifier reaches the instructor-golden recall regime when fed from it.
+# The classifier pipeline itself (crop geometry, descriptors, heads,
+# arbitration) is unchanged — this swaps only the proposal source, the
+# same substitution the reference structure allows at
+# `Reconocimiento de Objetos/source.py:41-64` (its detector is a module
+# boundary).
+# ---------------------------------------------------------------------------
+
+
+def grow_boxes_xyxy(boxes, valid, grow: float, frame_hw):
+    """Float xyxy boxes -> grown (about center), clipped int32 xyxy.
+
+    The REC-variant geometry contract (grow 1.15,
+    `Reconocimiento de Objetos/source.py:54`) applied to detector-space
+    float boxes; half-open ints for `crop_and_resize`.
+    """
+    h, w = frame_hw
+    x1, y1, x2, y2 = (boxes[..., i] for i in range(4))
+    cx, cy = (x1 + x2) * 0.5, (y1 + y2) * 0.5
+    bw = (x2 - x1) * grow
+    bh = (y2 - y1) * grow
+    nx1 = jnp.clip(cx - bw * 0.5, 0.0, w - 2.0)
+    ny1 = jnp.clip(cy - bh * 0.5, 0.0, h - 2.0)
+    nx2 = jnp.clip(cx + bw * 0.5, nx1 + 1.0, float(w))
+    ny2 = jnp.clip(cy + bh * 0.5, ny1 + 1.0, float(h))
+    out = jnp.stack([nx1, ny1, nx2, ny2], axis=-1).astype(jnp.int32)
+    keep = valid & ((x2 - x1) >= 2) & ((y2 - y1) >= 2)
+    return out, keep
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cnn_cfg", "cfg", "features", "clf_kind", "knn_k"),
+)
+def recognize_batch_cnn(frames, cnn_params, clf_arrays, cnn_cfg,
+                        cfg: PipelineConfig, features: str, clf_kind: str,
+                        knn_k: int = 4):
+    """CNN proposals -> grown 32x32 crops -> descriptors -> classifier.
+
+    One jit: the detector forward + decode and the whole classification
+    stack fuse into a single device program per batch.
+    """
+    from .cnn_detector import SignCenterNet, decode_detections
+
+    out = SignCenterNet(cnn_cfg).apply({"params": cnn_params}, frames)
+    pboxes, _, _, pvalid = decode_detections(
+        out, cnn_cfg.max_detections, cnn_cfg.score_threshold, cnn_cfg.stride)
+    hw = (frames.shape[1], frames.shape[2])
+    grow = (cfg.rec_grows or (RECOG_GROW,))[0]
+
+    def per_frame(bgr, bxs, pv):
+        boxes, keep = grow_boxes_xyxy(bxs, pv, grow, hw)
+        crops = crop_and_resize(bgr, boxes, RECOG_CROP)
+        gray_crops = bgr_to_gray(crops)
+        feats = (hog_descriptors(gray_crops) if features == "HOG"
+                 else gray_descriptors(gray_crops))
+        if clf_kind == "LDABAYES":
+            head_coefs, head_ints = clf_arrays
+            labels, conf = classify_crops_lda(
+                feats, head_coefs, head_ints, cfg.no_sign_tol,
+                cfg.sign_margin)
+        else:
+            xbar, scalings, tx, ty, classes = clf_arrays
+            labels, conf = classify_crops_knn(
+                feats, xbar, scalings, tx, ty, classes, knn_k)
+        final = keep & (labels > 0)
+        d = cfg.max_detections
+        n = final.shape[0]
+        (idx,) = jnp.nonzero(final, size=d, fill_value=n)
+        valid = jnp.arange(d) < jnp.sum(final)
+        pad = lambda x, fill: jnp.concatenate(
+            [x, jnp.full((1,) + x.shape[1:], fill, x.dtype)])
+        return (pad(boxes, 0)[idx], pad(labels, 0)[idx],
+                pad(conf, 0.0)[idx], valid)
+
+    return jax.vmap(per_frame)(frames, pboxes, pvalid)
+
+
 @dataclasses.dataclass
 class RecognitionPipeline:
     """Host-facing recognizer over directories of frames (both classifier
-    families run fused on device)."""
+    families run fused on device).
+
+    ``cnn`` (a ``CNNDetector``) switches the proposal source from the MSER
+    sweep to the flagship detector's low-threshold boxes (set the detector's
+    ``score_threshold`` accordingly); the classifier stack is identical.
+    """
 
     cfg: PipelineConfig
     classifier: SignClassifier
+    cnn: object | None = None
 
     def __post_init__(self):
         if self.classifier.config.classifier == "LDABAYES":
@@ -171,14 +261,26 @@ class RecognitionPipeline:
             )
 
     def recognize_frames(self, frames: np.ndarray, names: list[str]):
-        boxes, labels, scores, valid = recognize_batch(
-            jnp.asarray(frames),
-            self._arrays,
-            self.cfg,
-            self.classifier.config.features,
-            self._kind,
-            self.classifier.config.knn_neighbors,
-        )
+        if self.cnn is not None:
+            boxes, labels, scores, valid = recognize_batch_cnn(
+                jnp.asarray(frames),
+                self.cnn.params,
+                self._arrays,
+                self.cnn.cfg,
+                self.cfg,
+                self.classifier.config.features,
+                self._kind,
+                self.classifier.config.knn_neighbors,
+            )
+        else:
+            boxes, labels, scores, valid = recognize_batch(
+                jnp.asarray(frames),
+                self._arrays,
+                self.cfg,
+                self.classifier.config.features,
+                self._kind,
+                self.classifier.config.knn_neighbors,
+            )
         boxes = np.asarray(boxes)
         labels = np.asarray(labels)
         scores = np.asarray(scores)

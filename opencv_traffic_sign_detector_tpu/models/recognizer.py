@@ -137,6 +137,91 @@ def extract_train_proposals(
     return out
 
 
+def extract_train_proposals_cnn(
+    train_dir: str,
+    cnn_detector,
+    cache_path: str | None = None,
+    batch_size: int = 8,
+    limit: int | None = None,
+    grow: float = RECOG_GROW,
+) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+    """CNN low-threshold proposals for every train frame (round 4).
+
+    Same contract as `extract_train_proposals` ({fname: (boxes xyxy,
+    gray 32x32 crops)}) with the flagship detector as the proposal source:
+    mine at the detector's configured (low) ``score_threshold`` so the
+    classifier trains on the detector's own candidate distribution —
+    including its near-threshold false positives, exactly the negatives it
+    must reject at inference.
+    """
+    from .rec_pipeline import grow_boxes_xyxy
+
+    files = list_frame_files(train_dir)
+    if limit is not None:
+        files = files[:limit]
+    det = cnn_detector
+    tag = (f"cnn-v1:{params_digest(det)}:thr{det.cfg.score_threshold:g}:"
+           f"k{det.cfg.max_detections}:g{grow:g}:{len(files)}")
+
+    if cache_path and os.path.exists(cache_path):
+        z = np.load(cache_path, allow_pickle=False)
+        if str(z.get("tag")) == tag:
+            out = {}
+            for f in files:
+                key = f.replace(".", "_")
+                out[f] = (z[f"boxes_{key}"], z[f"crops_{key}"])
+            return out
+
+    @jax.jit
+    def crops_for(frames, boxes, valid):
+        hw = (frames.shape[1], frames.shape[2])
+
+        def per_frame(bgr, bxs, pv):
+            gb, keep = grow_boxes_xyxy(bxs, pv, grow, hw)
+            crops = crop_and_resize(bgr, gb, RECOG_CROP)
+            return gb, bgr_to_gray(crops), keep
+
+        return jax.vmap(per_frame)(frames, boxes, valid)
+
+    out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for start in range(0, len(files), batch_size):
+        if start and start % (batch_size * 10) == 0:
+            print(f"  cnn proposals: {start}/{len(files)} frames", flush=True)
+        chunk = files[start : start + batch_size]
+        frames = np.stack(
+            [load_image_bgr(os.path.join(train_dir, f)) for f in chunk])
+        pad = batch_size - len(chunk)
+        if pad:
+            frames = np.concatenate([frames, frames[-1:].repeat(pad, 0)])
+        dev = jnp.asarray(frames)
+        pboxes, _, _, pvalid = det.dispatch(dev)
+        gboxes, gcrops, keep = crops_for(dev, pboxes, pvalid)
+        gboxes, gcrops, keep = (np.asarray(gboxes), np.asarray(gcrops),
+                                np.asarray(keep))
+        for i, f in enumerate(chunk):
+            v = keep[i]
+            out[f] = (gboxes[i][v], gcrops[i][v])
+
+    if cache_path:
+        payload = {"tag": np.asarray(tag)}
+        for f, (b, c) in out.items():
+            key = f.replace(".", "_")
+            payload[f"boxes_{key}"] = b
+            payload[f"crops_{key}"] = c
+        np.savez_compressed(cache_path, **payload)
+    return out
+
+
+def params_digest(det) -> str:
+    """Short content digest of a CNNDetector's parameters (cache keying)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for leaf in jax.tree_util.tree_leaves(det.params):
+        h.update(np.asarray(leaf).tobytes())
+    return h.hexdigest()[:12]
+
+
 # ---------------------------------------------------------------------------
 # Training-set assembly
 # ---------------------------------------------------------------------------
@@ -150,10 +235,14 @@ def build_training_data(
     seed: int = 0,
     proposal_positives: bool = False,
     grows: tuple[float, ...] = (RECOG_GROW,),
+    proposals: dict[str, tuple[np.ndarray, np.ndarray]] | None = None,
 ) -> dict[int, np.ndarray]:
     """Class-keyed crops {0..6: [M, 32, 32] uint8 gray}, per-class shuffled.
 
     Class 0 = mined negatives, classes 1..6 = GT positives.
+
+    ``proposals`` overrides the MSER proposal source with a prebuilt
+    {fname: (boxes, crops)} dict (e.g. `extract_train_proposals_cnn`).
 
     ``proposal_positives=True`` additionally labels train-set MSER
     proposals with IoU > 0.5 against a GT box as positives of that box's
@@ -213,9 +302,11 @@ def build_training_data(
             data[cls].append(crop)
 
     # negatives: proposals with max IoU <= 0.5 against same-frame GT
-    proposals = extract_train_proposals(
-        train_dir, mser_cfg, cache_path=cache_path, limit=limit, grows=grows
-    )
+    if proposals is None:
+        proposals = extract_train_proposals(
+            train_dir, mser_cfg, cache_path=cache_path, limit=limit,
+            grows=grows
+        )
     for fname, (boxes, crops) in proposals.items():
         if len(boxes) == 0:
             continue
@@ -491,6 +582,7 @@ def run_validation(
     mesh=None,
     proposal_positives: bool = False,
     grows: tuple[float, ...] = (RECOG_GROW,),
+    proposals: dict[str, tuple[np.ndarray, np.ndarray]] | None = None,
 ) -> ValidationResult:
     """Train on (1-pct) of the per-class data, validate on the held-out pct.
 
@@ -506,6 +598,7 @@ def run_validation(
     data = build_training_data(
         train_dir, mser_cfg=mser_cfg, cache_path=cache_path, limit=limit,
         seed=seed, proposal_positives=proposal_positives, grows=grows,
+        proposals=proposals,
     )
     train, val = split_validation(data, validation_pct)
 

@@ -102,3 +102,69 @@ def test_recognize_frames_smoke(test_frames_dir, train_frames_dir):
     for d in dets:
         assert 1 <= d.class_id <= 6
         assert 0.0 <= d.score <= 1.0
+
+
+def test_grow_boxes_xyxy_geometry():
+    """Grow about center, clip to frame, keep half-open int semantics."""
+    import jax.numpy as jnp
+
+    from opencv_traffic_sign_detector_tpu.models.rec_pipeline import (
+        grow_boxes_xyxy,
+    )
+
+    boxes = jnp.asarray([
+        [10.0, 20.0, 30.0, 40.0],   # interior box
+        [0.0, 0.0, 20.0, 20.0],     # corner box: grow clips at 0
+        [90.0, 90.0, 99.0, 99.0],   # near far edge: clips at W/H
+        [5.0, 5.0, 6.0, 6.0],       # degenerate (w < 2): dropped
+    ])
+    valid = jnp.asarray([True, True, True, True])
+    out, keep = grow_boxes_xyxy(boxes, valid, 1.15, (100, 100))
+    out = np.asarray(out)
+    assert bool(keep[0]) and bool(keep[1]) and bool(keep[2])
+    assert not bool(keep[3])
+    # interior: grown by 1.15 about center (20, 30): w 20 -> 23
+    x1, y1, x2, y2 = out[0]
+    assert x2 - x1 in (22, 23) and y2 - y1 in (22, 23)
+    assert x1 < 10 and x2 > 30
+    # clipping stays in-frame
+    assert (out[:3] >= 0).all() and (out[:3, [0, 2]] <= 100).all() \
+        and (out[:3, [1, 3]] <= 100).all()
+
+
+@pytest.mark.slow
+def test_recognize_batch_cnn_smoke():
+    """CNN-proposal recognition: planted peak -> grown crop -> classifier."""
+    import jax
+    import jax.numpy as jnp
+
+    from opencv_traffic_sign_detector_tpu.models import cnn_detector as cd
+    from opencv_traffic_sign_detector_tpu.models.rec_pipeline import (
+        RecognitionPipeline,
+    )
+
+    # tiny v3 detector with head-bias surgery so decode emits valid boxes
+    ccfg = cd.CNNDetectorConfig(arch="v3", max_detections=8,
+                                score_threshold=0.5)
+    p = dict(cd.init_params(ccfg, 0, (64, 64)))
+    p["Conv_4"] = {"kernel": p["Conv_4"]["kernel"],
+                   "bias": p["Conv_4"]["bias"] + 8.0}
+    p["Conv_5"] = {"kernel": p["Conv_5"]["kernel"] * 0.0,
+                   "bias": p["Conv_5"]["bias"] + 1.5}   # 24 px boxes
+    det = cd.CNNDetector(p, ccfg)
+
+    clf = fit_classifier(_features(d=324), ClassifierConfig.from_string(
+        "HOG_LDA_LDABAYES"))
+    pipe = RecognitionPipeline(
+        cfg=PipelineConfig(mser=MSERConfig(), max_detections=8,
+                           batch_size=2),
+        classifier=clf,
+        cnn=det,
+    )
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (2, 64, 64, 3), np.uint8)
+    dets = pipe.recognize_frames(frames, ["a.jpg", "b.jpg"])
+    for d in dets:
+        assert 1 <= d.class_id <= 6
+        assert 0.0 <= d.score <= 1.0
+        assert 0 <= d.x1 < d.x2 <= 64 and 0 <= d.y1 < d.y2 <= 64
