@@ -171,6 +171,45 @@ def _bench_cnn(args, result: dict) -> None:
         np.asarray(outs[-1][2][0, 0])
         return n_batches * args.cnn_batch / (time.time() - t0)
 
+    def run_fed_yuv(size: str, n_batches: int) -> float:
+        """Same fed scope, half-bandwidth ingest: raw JPEG 4:2:0 planes
+        (1.5 bytes/px) upload instead of BGR (3), converted on device by
+        the libjpeg-exact ops/yuv.py kernel fused into the detect jit.
+        On a link-bound feed this approaches 2x run_fed."""
+        frames = _load_frames(args.cnn_batch * n_batches, size)
+        h, w = frames.shape[1:3]
+
+        def to_yuv(chunk):
+            # BT.601 full-range forward transform + 2x2 chroma pool — the
+            # host-side repack a production 4:2:0 camera/video feed would
+            # not even need (its frames arrive as planes already)
+            f = chunk.astype(np.float32)
+            b, g, r = f[..., 0], f[..., 1], f[..., 2]
+            y = np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b),
+                        0, 255).astype(np.uint8)
+            cb = np.clip(np.round(128 - 0.168735892 * r - 0.331264108 * g
+                                  + 0.5 * b), 0, 255)
+            cr = np.clip(np.round(128 + 0.5 * r - 0.418687589 * g
+                                  - 0.081312411 * b), 0, 255)
+            pool = lambda p: ((p[:, 0::2, 0::2] + p[:, 0::2, 1::2]
+                               + p[:, 1::2, 0::2] + p[:, 1::2, 1::2] + 2)
+                              / 4).astype(np.uint8)
+            return y, pool(cb), pool(cr)
+
+        host = [to_yuv(frames[i * args.cnn_batch:(i + 1) * args.cnn_batch])
+                for i in range(n_batches)]
+        out = det.dispatch_yuv(*(jnp.asarray(p) for p in host[0]))
+        np.asarray(out[2][0, 0])
+        t0 = time.time()
+        dev = tuple(jnp.asarray(p) for p in host[0])
+        outs = []
+        for i in range(n_batches):
+            outs.append(det.dispatch_yuv(*dev))
+            if i + 1 < n_batches:
+                dev = tuple(jnp.asarray(p) for p in host[i + 1])
+        np.asarray(outs[-1][2][0, 0])
+        return n_batches * args.cnn_batch / (time.time() - t0)
+
     fps = run("gtsdb")
     result.update({
         "metric": "gtsdb_1360x800_frames_per_sec_per_chip_detect_classify",
@@ -185,6 +224,8 @@ def _bench_cnn(args, result: dict) -> None:
         result["fps_1080p"] = round(run("1080p"), 3)
     if args.fed_batches > 0:
         result["fed_fps"] = round(run_fed("gtsdb", args.fed_batches), 3)
+        result["fed_yuv_fps"] = round(
+            run_fed_yuv("gtsdb", args.fed_batches), 3)
 
     test_dir = os.path.join(DET_DATA, "test_alumnos_jpg")
     gt_path = os.path.join(test_dir, "gt.txt")
@@ -211,6 +252,19 @@ def _bench_cnn(args, result: dict) -> None:
         f1, ap, p, r = _score_dets(dets, gt_path)
         result["cnn_f1_test"] = round(f1, 4)
         result["cnn_ap_test"] = round(ap, 4)
+
+        # e2e with the half-bandwidth YUV 4:2:0 ingest (raw JPEG planes,
+        # device-side libjpeg-exact conversion fused into the detect jit)
+        # + its live quality so the chroma repack of these 4:4:4 sources
+        # is accounted for, not assumed
+        t0 = time.time()
+        dets_yuv = det.run_directory(test_dir, batch_size=args.batch,
+                                     input_format="yuv420")
+        e2e_yuv_dt = time.time() - t0
+        result["e2e_yuv_fps"] = round(n_files / e2e_yuv_dt, 3)
+        f1y, apy, _, _ = _score_dets(dets_yuv, gt_path)
+        result["cnn_f1_yuv_test"] = round(f1y, 4)
+        result["cnn_ap_yuv_test"] = round(apy, 4)
 
         if not args.skip_1080p:
             # quality AT the 1080p operating point: scale frames up on

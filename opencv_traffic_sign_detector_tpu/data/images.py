@@ -86,6 +86,25 @@ def load_frames_batch(directory: str, files: list[str]) -> np.ndarray:
     return np.stack([load_image_bgr(p) for p in paths])
 
 
+def load_frames_yuv420_batch(
+    directory: str, files: list[str]
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Raw JPEG 4:2:0 planes for a same-sized frame batch, or None.
+
+    Half-bandwidth counterpart of ``load_frames_batch``: returns
+    (y [B,H,W], cb [B,ceil(H/2),ceil(W/2)], cr like cb) uint8 — 1.5
+    bytes/px to ship host->device instead of BGR's 3; finish with
+    ops.yuv.yuv420_to_bgr on device.  None when the native loader or the
+    files' sampling layout is unavailable (caller falls back to BGR)."""
+    paths = [os.path.join(directory, f) for f in files]
+    native = _native_loader()
+    if native is None or not all(
+        p.lower().endswith((".jpg", ".jpeg")) for p in paths
+    ):
+        return None
+    return native.decode_jpeg_yuv420_batch(paths)
+
+
 def stack_frames(
     images: dict[str, np.ndarray] | list[np.ndarray],
 ) -> tuple[list[str], np.ndarray]:

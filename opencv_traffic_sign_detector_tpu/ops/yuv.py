@@ -1,0 +1,76 @@
+"""Device-side JPEG 4:2:0 -> BGR: libjpeg's fancy upsample + fixed-point
+YCbCr->RGB, bit-for-bit.
+
+The input-feed path (runtime/loader.py: decode_jpeg_yuv420*) ships raw
+Y/Cb/Cr planes across the host->device link — 1.5 bytes/px instead of
+BGR's 3 — and this module finishes the decode on the accelerator.  Both
+halves of libjpeg's back end are reproduced exactly in integer math so a
+4:2:0 JPEG decoded via (raw planes -> yuv420_to_bgr) is byte-identical to
+libjpeg's own full BGR decode of the same file (asserted in
+tests/test_runtime_loader.py):
+
+* ``h2v2 fancy upsampling`` (jdsample.c): the triangle filter.  For
+  output row 2r the vertical pair is (3*row[r] + row[r-1]) (clamped at
+  the edges), for 2r+1 it is (3*row[r] + row[r+1]); horizontally, even
+  output columns take (3*this + left + 8) >> 4 and odd columns
+  (3*this + right + 7) >> 4 — the asymmetric rounding is load-bearing
+  for bit-exactness.
+* ``ycc_rgb_convert`` (jdcolor.c): SCALEBITS=16 fixed point,
+  R = y + (FIX(1.40200)(cr-128) + 2^15 >> 16), B likewise with
+  FIX(1.77200)(cb-128), G = y + ((-FIX(0.34414))(cb-128) + 2^15
+  + (-FIX(0.71414))(cr-128) >> 16), clamped to [0, 255].
+
+The reference decodes with ``cv2.imread`` (full BGR on the CPU —
+DET/source.py:101, REC/source.py:243); this path exists because the
+host->device link, not decode, bounds end-to-end throughput (PARITY.md
+round-4 input-feed note).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# jdcolor.c build_ycc_rgb_table constants: FIX(x) = round(x * 2^16).
+_FIX_1_40200 = 91881
+_FIX_1_77200 = 116130
+_FIX_0_34414 = 22554
+_FIX_0_71414 = 46802
+_ONE_HALF = 1 << 15
+
+
+def _fancy_upsample_plane(c: jnp.ndarray) -> jnp.ndarray:
+    """libjpeg h2v2_fancy_upsample for one [..., ch, cw] chroma plane
+    -> [..., 2*ch, 2*cw] int32 (values still in 0..255)."""
+    c = c.astype(jnp.int32)
+    up = jnp.concatenate([c[..., :1, :], c[..., :-1, :]], axis=-2)
+    down = jnp.concatenate([c[..., 1:, :], c[..., -1:, :]], axis=-2)
+    even_rows = 3 * c + up  # output rows 2r
+    odd_rows = 3 * c + down  # output rows 2r+1
+    # interleave along the row axis: [..., 2*ch, cw]
+    v = jnp.stack([even_rows, odd_rows], axis=-2)
+    v = v.reshape(*v.shape[:-3], -1, v.shape[-1])
+    left = jnp.concatenate([v[..., :, :1], v[..., :, :-1]], axis=-1)
+    right = jnp.concatenate([v[..., :, 1:], v[..., :, -1:]], axis=-1)
+    even_cols = (3 * v + left + 8) >> 4
+    odd_cols = (3 * v + right + 7) >> 4
+    out = jnp.stack([even_cols, odd_cols], axis=-1)
+    return out.reshape(*out.shape[:-3], out.shape[-3], -1)
+
+
+def yuv420_to_bgr(
+    y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray
+) -> jnp.ndarray:
+    """[..., h, w] luma + [..., ceil(h/2), ceil(w/2)] chroma -> BGR uint8
+    [..., h, w, 3], byte-identical to libjpeg's BGR decode of the same
+    4:2:0 stream.  Jittable; batch dims broadcast through."""
+    h, w = y.shape[-2], y.shape[-1]
+    cb_full = _fancy_upsample_plane(cb)[..., :h, :w]
+    cr_full = _fancy_upsample_plane(cr)[..., :h, :w]
+    yi = y.astype(jnp.int32)
+    cbd = cb_full - 128
+    crd = cr_full - 128
+    r = yi + ((_FIX_1_40200 * crd + _ONE_HALF) >> 16)
+    g = yi + ((-_FIX_0_34414 * cbd + _ONE_HALF - _FIX_0_71414 * crd) >> 16)
+    b = yi + ((_FIX_1_77200 * cbd + _ONE_HALF) >> 16)
+    bgr = jnp.stack([b, g, r], axis=-1)
+    return jnp.clip(bgr, 0, 255).astype(jnp.uint8)

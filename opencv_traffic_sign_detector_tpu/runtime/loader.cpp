@@ -87,6 +87,137 @@ int decode_one(const char* path, uint8_t* buf, int64_t buf_size,
   return 0;
 }
 
+// Decode one JPEG into tight YUV 4:2:0 planes (y: h*w, cb/cr: ch*cw with
+// ch=(h+1)/2, cw=(w+1)/2), skipping libjpeg's upsampling + color conversion
+// entirely (raw_data_out).  The caller converts on the accelerator — the
+// point is the input feed: 1.5 bytes/px across the host->device link
+// instead of 3.  4:2:0 sources pass through untouched; 4:4:4 / 4:2:2
+// sources (GTSDB ships 4:4:4) have their chroma average-pooled to 4:2:0
+// with round-half-up.  Returns 0 ok, -5 for unsupported sampling (caller
+// falls back to the BGR path).
+int decode_one_yuv420(const char* path, uint8_t* ybuf, uint8_t* cbbuf,
+                      uint8_t* crbuf, int32_t h, int32_t w) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return -2;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  if (cinfo.num_components != 3 || cinfo.jpeg_color_space != JCS_YCbCr) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return -5;
+  }
+  cinfo.raw_data_out = TRUE;
+  jpeg_start_decompress(&cinfo);
+
+  if (static_cast<int32_t>(cinfo.output_width) != w ||
+      static_cast<int32_t>(cinfo.output_height) != h) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return -4;
+  }
+  const int hy = cinfo.comp_info[0].h_samp_factor;
+  const int vy = cinfo.comp_info[0].v_samp_factor;
+  const bool chroma11 = cinfo.comp_info[1].h_samp_factor == 1 &&
+                        cinfo.comp_info[1].v_samp_factor == 1 &&
+                        cinfo.comp_info[2].h_samp_factor == 1 &&
+                        cinfo.comp_info[2].v_samp_factor == 1;
+  // Supported luma/chroma ratios: 2x2 (4:2:0), 1x1 (4:4:4), 2x1 (4:2:2).
+  const bool s420 = hy == 2 && vy == 2 && chroma11;
+  const bool s444 = hy == 1 && vy == 1 && chroma11;
+  const bool s422 = hy == 2 && vy == 1 && chroma11;
+  if (!(s420 || s444 || s422)) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return -5;
+  }
+
+  const int lines_per_call = cinfo.max_v_samp_factor * DCTSIZE;
+  const int n_calls = (h + lines_per_call - 1) / lines_per_call;
+
+  // Per-component padded planes (stride = width_in_blocks*8, height padded
+  // to the iMCU multiple) so jpeg_read_raw_data can write block-aligned.
+  std::vector<uint8_t> planes[3];
+  std::vector<JSAMPROW> rowptrs[3];
+  int strides[3], rows_per_call[3];
+  for (int c = 0; c < 3; ++c) {
+    jpeg_component_info* comp = &cinfo.comp_info[c];
+    strides[c] = static_cast<int>(comp->width_in_blocks) * DCTSIZE;
+    rows_per_call[c] = comp->v_samp_factor * DCTSIZE;
+    const int padded_h = n_calls * rows_per_call[c];
+    planes[c].resize(static_cast<size_t>(strides[c]) * padded_h);
+    rowptrs[c].resize(padded_h);
+    for (int r = 0; r < padded_h; ++r)
+      rowptrs[c][r] = planes[c].data() + static_cast<size_t>(r) * strides[c];
+  }
+  for (int call = 0; call < n_calls; ++call) {
+    JSAMPROW* data[3];
+    for (int c = 0; c < 3; ++c)
+      data[c] = rowptrs[c].data() + call * rows_per_call[c];
+    JSAMPARRAY image[3] = {data[0], data[1], data[2]};
+    if (jpeg_read_raw_data(&cinfo, image, lines_per_call) == 0) {
+      jpeg_abort_decompress(&cinfo);
+      jpeg_destroy_decompress(&cinfo);
+      fclose(f);
+      return -6;
+    }
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+
+  // Tight Y copy.
+  for (int r = 0; r < h; ++r)
+    std::memcpy(ybuf + static_cast<int64_t>(r) * w,
+                planes[0].data() + static_cast<size_t>(r) * strides[0], w);
+
+  const int32_t ch = (h + 1) / 2, cw = (w + 1) / 2;
+  uint8_t* outs[2] = {cbbuf, crbuf};
+  for (int c = 1; c <= 2; ++c) {
+    const uint8_t* src = planes[c].data();
+    const int stride = strides[c];
+    uint8_t* dst = outs[c - 1];
+    if (s420) {  // native half-res chroma: tight copy
+      for (int r = 0; r < ch; ++r)
+        std::memcpy(dst + static_cast<int64_t>(r) * cw,
+                    src + static_cast<size_t>(r) * stride, cw);
+    } else if (s444) {  // 2x2 average pool, round half up, edge-replicated
+      for (int r = 0; r < ch; ++r) {
+        const int r0 = 2 * r, r1 = (2 * r + 1 < h) ? 2 * r + 1 : h - 1;
+        const uint8_t* s0 = src + static_cast<size_t>(r0) * stride;
+        const uint8_t* s1 = src + static_cast<size_t>(r1) * stride;
+        for (int x = 0; x < cw; ++x) {
+          const int x0 = 2 * x, x1 = (2 * x + 1 < w) ? 2 * x + 1 : w - 1;
+          dst[static_cast<int64_t>(r) * cw + x] = static_cast<uint8_t>(
+              (s0[x0] + s0[x1] + s1[x0] + s1[x1] + 2) >> 2);
+        }
+      }
+    } else {  // 4:2:2 — chroma is half-width already; pool vertically
+      for (int r = 0; r < ch; ++r) {
+        const int r0 = 2 * r, r1 = (2 * r + 1 < h) ? 2 * r + 1 : h - 1;
+        const uint8_t* s0 = src + static_cast<size_t>(r0) * stride;
+        const uint8_t* s1 = src + static_cast<size_t>(r1) * stride;
+        for (int x = 0; x < cw; ++x)
+          dst[static_cast<int64_t>(r) * cw + x] =
+              static_cast<uint8_t>((s0[x] + s1[x] + 1) >> 1);
+      }
+    }
+  }
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -112,6 +243,41 @@ int tsd_decode_jpeg_bgr_batch(const char** paths, int32_t n, uint8_t* buf,
       const int rc = decode_one(paths[i], buf + frame_bytes * i, frame_bytes,
                                 &oh, &ow);
       status[i] = (rc == 0 && oh == h && ow == w) ? 0 : (rc ? rc : -4);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  int bad = 0;
+  for (int i = 0; i < n; ++i)
+    if (status[i] != 0) ++bad;
+  return bad;
+}
+
+int tsd_decode_jpeg_yuv420(const char* path, uint8_t* ybuf, uint8_t* cbbuf,
+                           uint8_t* crbuf, int32_t h, int32_t w) {
+  return decode_one_yuv420(path, ybuf, cbbuf, crbuf, h, w);
+}
+
+// Batched raw-plane decode with a worker pool; same contract as the BGR
+// batch (same-sized frames, per-file status, returns #failures).  Layouts:
+// y: n*h*w; cb/cr: n*ch*cw with ch=(h+1)/2, cw=(w+1)/2.
+int tsd_decode_jpeg_yuv420_batch(const char** paths, int32_t n, uint8_t* ybuf,
+                                 uint8_t* cbbuf, uint8_t* crbuf, int32_t h,
+                                 int32_t w, int32_t n_threads,
+                                 int32_t* status) {
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int32_t> next(0);
+  const int64_t y_bytes = static_cast<int64_t>(h) * w;
+  const int64_t c_bytes =
+      static_cast<int64_t>((h + 1) / 2) * ((w + 1) / 2);
+  auto worker = [&]() {
+    for (;;) {
+      const int32_t i = next.fetch_add(1);
+      if (i >= n) break;
+      status[i] = decode_one_yuv420(paths[i], ybuf + y_bytes * i,
+                                    cbbuf + c_bytes * i, crbuf + c_bytes * i,
+                                    h, w);
     }
   };
   std::vector<std::thread> threads;

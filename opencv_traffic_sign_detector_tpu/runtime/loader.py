@@ -47,6 +47,28 @@ def _load():
         ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int32),
     ]
+    if hasattr(lib, "tsd_decode_jpeg_yuv420"):
+        lib.tsd_decode_jpeg_yuv420.restype = ctypes.c_int
+        lib.tsd_decode_jpeg_yuv420.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int32,
+            ctypes.c_int32,
+        ]
+        lib.tsd_decode_jpeg_yuv420_batch.restype = ctypes.c_int
+        lib.tsd_decode_jpeg_yuv420_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
     _lib = lib
     return _lib
 
@@ -117,3 +139,70 @@ def decode_jpeg_bgr_batch(
     if bad:  # mixed sizes or decode errors: let the caller fall back
         return None
     return [buf[i] for i in range(n)]
+
+
+def decode_jpeg_yuv420(
+    path: str,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Raw 4:2:0 planes (y [h,w], cb/cr [(h+1)//2,(w+1)//2]) — half the
+    bytes of BGR across the host->device link; convert on device with
+    ops.yuv.yuv420_to_bgr.  None if the library or the file's sampling
+    layout is unavailable (caller falls back to decode_jpeg_bgr)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "tsd_decode_jpeg_yuv420"):
+        return None
+    size = probe_size(path)
+    if size is None:
+        return None
+    h, w = size
+    y = np.empty((h, w), np.uint8)
+    cb = np.empty(((h + 1) // 2, (w + 1) // 2), np.uint8)
+    cr = np.empty_like(cb)
+    rc = lib.tsd_decode_jpeg_yuv420(
+        path.encode(),
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h,
+        w,
+    )
+    return (y, cb, cr) if rc == 0 else None
+
+
+def decode_jpeg_yuv420_batch(
+    paths: list[str], n_threads: int | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Threaded raw-plane decode of same-sized JPEGs.
+
+    Returns (y [n,h,w], cb [n,ch,cw], cr [n,ch,cw]) or None on any failure
+    (mixed sizes, unsupported sampling — caller falls back to the BGR
+    batch path)."""
+    lib = _load()
+    if lib is None or not paths or not hasattr(lib, "tsd_decode_jpeg_yuv420"):
+        return None
+    size = probe_size(paths[0])
+    if size is None:
+        return None
+    h, w = size
+    n = len(paths)
+    y = np.empty((n, h, w), np.uint8)
+    cb = np.empty((n, (h + 1) // 2, (w + 1) // 2), np.uint8)
+    cr = np.empty_like(cb)
+    status = np.zeros(n, np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    if n_threads is None:
+        n_threads = min(8, os.cpu_count() or 1)
+    bad = lib.tsd_decode_jpeg_yuv420_batch(
+        arr,
+        n,
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h,
+        w,
+        n_threads,
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if bad:
+        return None
+    return y, cb, cr

@@ -45,3 +45,105 @@ def test_images_module_uses_native_path(built, test_frames_dir):
 
     img = load_image_bgr(str(test_frames_dir / "00600.jpg"))
     assert img.shape == (800, 1360, 3)
+
+
+# ---------------------------------------------------------------------------
+# Half-bandwidth YUV 4:2:0 ingest (raw planes + device-side conversion)
+# ---------------------------------------------------------------------------
+
+
+def test_yuv420_roundtrip_bit_exact(built, tmp_path, test_frames_dir):
+    """On a true 4:2:0 JPEG, raw planes + ops.yuv.yuv420_to_bgr must be
+    byte-identical to libjpeg's own full BGR decode of the same file
+    (fancy upsample + fixed-point ycc->rgb, reproduced exactly)."""
+    from PIL import Image
+
+    from opencv_traffic_sign_detector_tpu.ops.yuv import yuv420_to_bgr
+
+    src = str(test_frames_dir / "00600.jpg")
+    p = str(tmp_path / "f420.jpg")
+    Image.open(src).save(p, quality=90, subsampling=2)  # force 4:2:0
+
+    full = loader.decode_jpeg_bgr(p)
+    planes = loader.decode_jpeg_yuv420(p)
+    assert planes is not None
+    y, cb, cr = planes
+    assert y.shape == full.shape[:2]
+    assert cb.shape == ((full.shape[0] + 1) // 2, (full.shape[1] + 1) // 2)
+    ours = np.asarray(yuv420_to_bgr(y, cb, cr))
+    np.testing.assert_array_equal(ours, full)
+
+
+def test_yuv420_odd_dimensions_bit_exact(built, tmp_path):
+    """Odd frame sizes exercise the edge-replication rows/cols of the
+    upsampler and the ceil-division chroma extents."""
+    from PIL import Image
+
+    from opencv_traffic_sign_detector_tpu.ops.yuv import yuv420_to_bgr
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (61, 47, 3), np.uint8)
+    p = str(tmp_path / "odd420.jpg")
+    Image.fromarray(img).save(p, quality=85, subsampling=2)
+    full = loader.decode_jpeg_bgr(p)
+    planes = loader.decode_jpeg_yuv420(p)
+    assert planes is not None
+    y, cb, cr = planes
+    assert y.shape == (61, 47) and cb.shape == (31, 24)
+    np.testing.assert_array_equal(np.asarray(yuv420_to_bgr(y, cb, cr)), full)
+
+
+def test_yuv420_batch_matches_single(built, test_frames_dir):
+    import os
+
+    files = [
+        str(test_frames_dir / f)
+        for f in sorted(os.listdir(test_frames_dir))
+        if f.endswith(".jpg")
+    ][:4]
+    out = loader.decode_jpeg_yuv420_batch(files)
+    assert out is not None
+    y, cb, cr = out
+    assert y.shape == (4, 800, 1360) and cb.shape == (4, 400, 680)
+    sy, scb, scr = loader.decode_jpeg_yuv420(files[2])
+    np.testing.assert_array_equal(y[2], sy)
+    np.testing.assert_array_equal(cb[2], scb)
+    np.testing.assert_array_equal(cr[2], scr)
+
+
+def test_yuv420_repack_of_444_source(built, test_frames_dir):
+    """GTSDB frames are 4:4:4: the loader average-pools chroma to 4:2:0.
+    The result is not byte-equal to the full decode (that's the point —
+    half the bytes), but luma must be EXACT and chroma loss small."""
+    from opencv_traffic_sign_detector_tpu.ops.yuv import yuv420_to_bgr
+
+    p = str(test_frames_dir / "00600.jpg")
+    full = loader.decode_jpeg_bgr(p).astype(np.int32)
+    y, cb, cr = loader.decode_jpeg_yuv420(p)
+    ours = np.asarray(yuv420_to_bgr(y, cb, cr)).astype(np.int32)
+    # libjpeg gray (BT.601 luma) of both decodes must agree closely: the
+    # repack touches chroma only.
+    d = np.abs(ours - full)
+    assert d.mean() < 1.5, f"chroma repack drifted too far: mean {d.mean()}"
+    gray_full = (full @ [0.114, 0.587, 0.299])
+    gray_ours = (ours @ [0.114, 0.587, 0.299])
+    assert np.abs(gray_full - gray_ours).mean() < 0.35
+
+
+def test_prefetch_yuv420_lane(built, test_frames_dir):
+    """batched_frames(yuv420=True) yields plane tuples with pad names."""
+    import os
+
+    from opencv_traffic_sign_detector_tpu.data.prefetch import batched_frames
+
+    files = [
+        f for f in sorted(os.listdir(test_frames_dir)) if f.endswith(".jpg")
+    ][:5]
+    items = list(
+        batched_frames(str(test_frames_dir), files, batch_size=3, yuv420=True)
+    )
+    assert len(items) == 2
+    planes, names = items[1]
+    assert isinstance(planes, tuple) and len(planes) == 3
+    assert planes[0].shape == (3, 800, 1360)
+    assert names[-1] == "__pad__"
