@@ -3,7 +3,8 @@
 
 Measures the flagship pipeline on real GTSDB frames (1360x800) when the
 dataset is present, else on synthetic frames.  The flagship is the trained
-CNN center-point detector (MXU path, F1 0.76 / AP 0.83 — see PARITY.md)
+CNN center-point detector (MXU path; quality is measured live by this
+script on the loaded checkpoint — see the cnn_*_test fields and PARITY.md)
 when its weights artifact exists; the MSER reference-parity pipeline rides
 along as ``mser_*`` extra fields.  Prints exactly one JSON line whose
 primary value is the device-pipeline scope:
@@ -130,7 +131,7 @@ def _bench_cnn(args, result: dict) -> None:
     result["weights_sha256"] = _weights_fingerprint(CNN_PARAMS)
     result["arch"] = det.cfg.arch
 
-    def run(size: str) -> float:
+    def run(size: str, layout: str = "patches8") -> float:
         """Device-queue throughput: ONE device-resident batch re-dispatched
         cnn_iters times — ZERO H2D in the timed window (the chip-compute
         scope; see fed_fps for the H2D-inclusive scope).  Below batch ~128
@@ -138,8 +139,22 @@ def _bench_cnn(args, result: dict) -> None:
         the chip (measured: batch 64 x16 = 1963 fps, batch 128 x12 = 4964
         fps on identical weights) — the network is static-shape, so
         re-dispatching the same frames costs exactly what distinct frames
-        cost."""
+        cost.
+
+        ``layout="patches8"`` is the serving layout (v3 arch): the native
+        loader decodes straight into [B, H/8, W/8, 192] for free and the
+        stem consumes it with zero on-device relayout — same bytes as
+        BGR, measured ~1.9x the full-model rate (the relayout away from
+        the channels-minor=3 frame layout was the stem's real cost;
+        PARITY.md round-4).  ``layout="bgr"`` times the same weights on
+        plain [B, H, W, 3] frames."""
         frames = _load_frames(args.cnn_batch, size)
+        if layout == "patches8" and det.cfg.arch == "v3":
+            b, h, w, _ = frames.shape
+            frames = np.ascontiguousarray(
+                frames.reshape(b, h // 8, 8, w // 8, 24)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(b, h // 8, w // 8, 192))
         dev = jnp.asarray(frames)
         out = det.dispatch(dev)  # compile + warm
         np.asarray(out[2][0, 0])
@@ -213,15 +228,17 @@ def _bench_cnn(args, result: dict) -> None:
     fps = run("gtsdb")
     result.update({
         "metric": "gtsdb_1360x800_frames_per_sec_per_chip_detect_classify",
-        "scope": "device_queue_batch%d" % args.cnn_batch,
+        "scope": "device_queue_batch%d_patches8" % args.cnn_batch,
         "model": "cnn_centernet",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / REFERENCE_FPS, 2),
         "vs_reference_detect_only": round(fps / REFERENCE_DETECT_FPS, 2),
     })
+    result["gtsdb_fps_bgr_layout"] = round(run("gtsdb", "bgr"), 3)
     if not args.skip_1080p:
         result["fps_1080p"] = round(run("1080p"), 3)
+        result["fps_1080p_bgr_layout"] = round(run("1080p", "bgr"), 3)
     if args.fed_batches > 0:
         result["fed_fps"] = round(run_fed("gtsdb", args.fed_batches), 3)
         result["fed_yuv_fps"] = round(

@@ -96,7 +96,8 @@ def _run_cnn(args) -> int:
         with stage("detect over test directory"):
             t0 = time.time()
             detections = det.run_directory(
-                test_path, batch_size=args.batch_size, progress=True)
+                test_path, batch_size=args.batch_size, progress=True,
+                input_format=args.input_format)
             dt = time.time() - t0
             n_frames = len(list_frame_files(test_path))
             print(f"      {len(detections)} detections over {n_frames} "
@@ -144,6 +145,13 @@ def main(argv=None) -> int:
     parser.add_argument("--train_path", default="train_jpg")
     parser.add_argument("--test_path", default="test_alumnos_jpg")
     parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--input_format", default="bgr",
+                        choices=["bgr", "yuv420", "patches8"],
+                        help="CNN-detector decode layout: yuv420 ships raw "
+                        "JPEG 4:2:0 planes (half the host->device bytes, "
+                        "libjpeg-exact device conversion); patches8 decodes "
+                        "into the stem's matmul layout (fastest device "
+                        "path).  Ignored by the MSER pipeline (bgr only)")
     parser.add_argument("--out", default="resultado.txt")
     parser.add_argument("--out_imgs", default="resultado_imgs")
     parser.add_argument("--no-images", action="store_true",

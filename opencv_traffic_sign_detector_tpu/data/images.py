@@ -86,6 +86,21 @@ def load_frames_batch(directory: str, files: list[str]) -> np.ndarray:
     return np.stack([load_image_bgr(p) for p in paths])
 
 
+def load_frames_patches8_batch(
+    directory: str, files: list[str]
+) -> np.ndarray | None:
+    """Frames decoded straight into the ``patches8`` stem layout
+    [B, H/8, W/8, 192] uint8 (same bytes as BGR, repacked for free at
+    decode time; see runtime/loader.py) — or None (caller falls back)."""
+    paths = [os.path.join(directory, f) for f in files]
+    native = _native_loader()
+    if native is None or not all(
+        p.lower().endswith((".jpg", ".jpeg")) for p in paths
+    ):
+        return None
+    return native.decode_jpeg_bgr_patches8_batch(paths)
+
+
 def load_frames_yuv420_batch(
     directory: str, files: list[str]
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:

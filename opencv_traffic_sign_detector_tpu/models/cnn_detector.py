@@ -70,10 +70,11 @@ class CNNDetectorConfig:
     # "v2s16"/"v2s16wide": the whole trunk at stride 16 (width 192/256),
     # heads + decode on the s16 grid — quarters both the head-conv grid and
     # the decode top-k input.  Sub-cell offsets carry center precision.
-    # "v3" (the SHIPPED flagship): see the __call__ branch — 5172 fps at
-    # 1080p / 10279 fps at 1360x800 (batch 128 device queue), 48k-step
-    # weights measure F1 0.83 / AP-max 0.933 at the 1080p operating point
-    # and F1 0.81 / AP-max 0.875 at native GTSDB (PARITY.md round 4).
+    # "v3" (the SHIPPED flagship): see the __call__ branch — 9,676 fps at
+    # 1080p / 17,817 fps at 1360x800 (batch 128 device queue, patches8
+    # ingest; 6,308 / 11,667 from BGR frames), 48k-step weights measure
+    # F1 0.83 / AP-max 0.933 at the 1080p operating point and F1 0.81 /
+    # AP-max 0.875 at native GTSDB (PARITY.md round 4).
     # Default stays "slim" for constructor back-compat; product loaders
     # take the arch from the checkpoint's own __arch__ tag.
     arch: str = "slim"
@@ -98,6 +99,50 @@ def _space_to_depth(x: jax.Array, r: int) -> jax.Array:
     x = x.reshape(b, h // r, r, w // r, r, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)
     return x.reshape(b, h // r, w // r, r * r * c)
+
+
+class _PatchifyStem(nn.Module):
+    """The v3 8x8-stride-8 stem computed as patchify + one K=192 matmul.
+
+    Parameter-compatible with ``nn.Conv(features, (8, 8), strides=(8, 8))``
+    (kernel [8, 8, 3, F] + bias [F], same HWIO flat order), but ~1.3x
+    faster than XLA's conv lowering for cin=3 at this size and able to
+    consume HOST-PRE-PATCHIFIED input for 3.5x more: measured per 128
+    1080p frames, conv 17.3 ms / in-graph patchify 13.5 ms / pre-formed
+    patches 5.0 ms — the relayout away from the channels-minor=3 frame
+    layout, not the matmul, is the stem's real cost.  Inputs:
+
+    * frames  uint8 [B, H, W, 3]           — patchified in-graph
+      (reshape + 8-slice concat; measured faster than the transpose
+      lowering and the conv itself), or
+    * patches uint8 [B, H/8, W/8, 192]     — the ``patches8`` layout the
+      native loader emits at decode time for free (k = ky*24 + kx*3 + c,
+      exactly the flattened HWIO kernel order).
+    """
+
+    features: int = 64
+    patch: int = 8
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        p, f = self.patch, self.features
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (p, p, 3, f),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (f,), jnp.float32)
+        dt = self.dtype
+        k = p * p * 3
+        if x.shape[-1] != k:  # [B, H, W, 3] -> [B, H/p, W/p, p*p*3]
+            b, h, w, c = x.shape
+            xs = x.reshape(b, h // p, p, w // p, p * c)
+            x = jnp.concatenate([xs[:, :, r] for r in range(p)], axis=-1)
+        x = x.astype(dt) * jnp.asarray(1 / 255.0, dt) - jnp.asarray(0.5, dt)
+        out = jnp.einsum("bhwk,kf->bhwf", x, kernel.reshape(k, f).astype(dt))
+        return nn.relu(out + bias.astype(dt))
 
 
 class _ConvBlock(nn.Module):
@@ -129,23 +174,30 @@ class SignCenterNet(nn.Module):
     def __call__(self, frames_u8):
         cfg = self.cfg
         dt = cfg.compute_dtype()
-        x = frames_u8.astype(dt) * jnp.asarray(1.0 / 255.0, dt) - jnp.asarray(0.5, dt)
         if cfg.arch != "v3":
+            x = frames_u8.astype(dt) * jnp.asarray(1.0 / 255.0, dt) \
+                - jnp.asarray(0.5, dt)
             x = _space_to_depth(x, 4)                  # [B, H/4, W/4, 48]
 
         if cfg.arch == "v3":
-            # North-star arch (round 4): 8x8-stride-8 patchify conv straight
-            # from uint8 (no space-to-depth intermediate — skips a 12.5
-            # MB/frame HBM round-trip), then a 128-wide stride-16 trunk.
-            # ~6.8 GFLOP per 1080p frame vs slim's 22.6.  NO norm layers at
+            # North-star arch (round 4): 8x8-stride-8 patchify stem straight
+            # from uint8, then a 128-wide stride-16 trunk.  ~6.8 GFLOP per
+            # 1080p frame vs slim's 22.6.  The stem is computed as
+            # patchify + K=192 matmul (_PatchifyStem — parameter-compatible
+            # with the conv it replaces, measured 1.3x its speed in-graph
+            # and 3.5x from the host ``patches8`` layout) and also accepts
+            # pre-patchified [B, H/8, W/8, 192] input.  NO norm layers at
             # inference: the trainer uses BatchNorm and folds it into the
             # conv kernels/biases at export (models/cnn_train.py:
-            # fold_v3_batchnorm), so this chain is pure conv+relu —
-            # measured 23.9 ms / 128 1080p frames (5360 fps) forward.
-            x = nn.relu(nn.Conv(64, (8, 8), strides=(8, 8), dtype=dt)(x))
-            x = nn.relu(nn.Conv(128, (3, 3), strides=(2, 2), dtype=dt)(x))
-            x = nn.relu(nn.Conv(128, (3, 3), dtype=dt)(x))
-            fin = nn.relu(nn.Conv(128, (3, 3), dtype=dt)(x))
+            # fold_v3_batchnorm), so this chain is pure conv/matmul+relu.
+            # Modules are explicitly named to keep the checkpoint tree of
+            # the original nn.Conv chain (Conv_0..Conv_6).
+            x = _PatchifyStem(features=64, patch=8, dtype=dt,
+                              name="Conv_0")(frames_u8)
+            x = nn.relu(nn.Conv(128, (3, 3), strides=(2, 2), dtype=dt,
+                                name="Conv_1")(x))
+            x = nn.relu(nn.Conv(128, (3, 3), dtype=dt, name="Conv_2")(x))
+            fin = nn.relu(nn.Conv(128, (3, 3), dtype=dt, name="Conv_3")(x))
             head_dt = dt
         elif cfg.arch in ("v2s16", "v2s16wide"):
             # whole trunk at s16; heads + decode on the s16 grid
@@ -193,11 +245,16 @@ class SignCenterNet(nn.Module):
             head_dt = dt if slim else jnp.float32
             fin = feat if slim else feat.astype(jnp.float32)
 
+        # v3 names its modules explicitly (the stem is not an nn.Conv, so
+        # auto-numbering would shift); other arches keep flax auto-names.
+        v3 = cfg.arch == "v3"
         hm = nn.Conv(NUM_CLASSES, (3, 3), dtype=head_dt,
-                     bias_init=nn.initializers.constant(-4.59))(  # prior ~0.01
-                         fin).astype(jnp.float32)
-        size = nn.Conv(2, (3, 3), dtype=head_dt)(fin).astype(jnp.float32)
-        off = nn.Conv(2, (3, 3), dtype=head_dt)(fin).astype(jnp.float32)
+                     bias_init=nn.initializers.constant(-4.59),  # prior ~0.01
+                     name="Conv_4" if v3 else None)(fin).astype(jnp.float32)
+        size = nn.Conv(2, (3, 3), dtype=head_dt,
+                       name="Conv_5" if v3 else None)(fin).astype(jnp.float32)
+        off = nn.Conv(2, (3, 3), dtype=head_dt,
+                      name="Conv_6" if v3 else None)(fin).astype(jnp.float32)
         return {"hm": hm, "size": size, "off": off}
 
 
@@ -402,7 +459,11 @@ class CNNDetector:
         upload that bounds e2e throughput on bandwidth-starved links.
         4:4:4 sources are chroma-pooled by the loader (GTSDB ships 4:4:4;
         measured flagship delta: F1 unchanged at 0.81, AP 0.852 -> 0.839
-        — PARITY.md round-4 input-feed note)."""
+        — PARITY.md round-4 input-feed note).
+
+        ``input_format="patches8"`` (v3 arch only) decodes straight into
+        the stem's matmul layout [B, H/8, W/8, 192] — same bytes, zero
+        on-device relayout, measured 3.5x stem / ~1.6x full-model speed."""
         from ..data.images import list_frame_files
         from ..data.prefetch import batched_frames
 
@@ -413,7 +474,7 @@ class CNNDetector:
         orig_hw = None
         for frames, names in batched_frames(directory, files, batch_size,
                                             device_put=True,
-                                            yuv420=input_format == "yuv420"):
+                                            input_format=input_format):
             if isinstance(frames, tuple):
                 if orig_hw is None:
                     orig_hw = (int(frames[0].shape[1]),
@@ -421,7 +482,9 @@ class CNNDetector:
                 out = self.dispatch_yuv(*frames)
             else:
                 if orig_hw is None:
-                    orig_hw = (int(frames.shape[1]), int(frames.shape[2]))
+                    scale = 8 if frames.shape[-1] == 192 else 1
+                    orig_hw = (int(frames.shape[1]) * scale,
+                               int(frames.shape[2]) * scale)
                 out = self.dispatch(frames)
             if pending is not None:
                 dets.extend(d for d in self.collect(*pending)

@@ -87,6 +87,63 @@ int decode_one(const char* path, uint8_t* buf, int64_t buf_size,
   return 0;
 }
 
+// Decode one JPEG straight into the "patches8" layout: [h/8, w/8, 192]
+// uint8 where k = ky*24 + kx*3 + c (the flattened HWIO order of an
+// 8x8-stride-8 conv kernel).  Same bytes as BGR, different layout — the
+// TPU stem consumes it as one K=192 matmul with zero on-device relayout
+// (measured 3.5x the conv stem at 1080p; models/cnn_detector.py:
+// _PatchifyStem).  The repack costs one strided memcpy per decoded row,
+// done here where it is free.  Requires h, w divisible by 8.
+int decode_one_bgr_patches8(const char* path, uint8_t* buf, int32_t h,
+                            int32_t w) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return -2;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  if (static_cast<int32_t>(cinfo.output_width) != w ||
+      static_cast<int32_t>(cinfo.output_height) != h || (h % 8) || (w % 8)) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return -4;
+  }
+  const int wp = w / 8;
+  std::vector<uint8_t> row(static_cast<size_t>(w) * cinfo.output_components);
+  std::vector<uint8_t> bgr(static_cast<size_t>(w) * 3);
+  uint8_t* rp = row.data();
+  while (cinfo.output_scanline < cinfo.output_height) {
+    const int y = cinfo.output_scanline;
+    jpeg_read_scanlines(&cinfo, &rp, 1);
+    for (int x = 0; x < w; ++x) {  // RGB -> BGR swizzle
+      bgr[x * 3 + 0] = rp[x * 3 + 2];
+      bgr[x * 3 + 1] = rp[x * 3 + 1];
+      bgr[x * 3 + 2] = rp[x * 3 + 0];
+    }
+    const int strip = y / 8, r = y % 8;
+    uint8_t* base = buf + (static_cast<int64_t>(strip) * wp) * 192 + r * 24;
+    for (int p = 0; p < wp; ++p)
+      std::memcpy(base + static_cast<int64_t>(p) * 192, bgr.data() + p * 24,
+                  24);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+  return 0;
+}
+
 // Decode one JPEG into tight YUV 4:2:0 planes (y: h*w, cb/cr: ch*cw with
 // ch=(h+1)/2, cw=(w+1)/2), skipping libjpeg's upsampling + color conversion
 // entirely (raw_data_out).  The caller converts on the accelerator — the
@@ -243,6 +300,36 @@ int tsd_decode_jpeg_bgr_batch(const char** paths, int32_t n, uint8_t* buf,
       const int rc = decode_one(paths[i], buf + frame_bytes * i, frame_bytes,
                                 &oh, &ow);
       status[i] = (rc == 0 && oh == h && ow == w) ? 0 : (rc ? rc : -4);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  int bad = 0;
+  for (int i = 0; i < n; ++i)
+    if (status[i] != 0) ++bad;
+  return bad;
+}
+
+int tsd_decode_jpeg_bgr_patches8(const char* path, uint8_t* buf, int32_t h,
+                                 int32_t w) {
+  return decode_one_bgr_patches8(path, buf, h, w);
+}
+
+// Batched patches8 decode with the worker pool; buf: n * (h/8)*(w/8)*192.
+int tsd_decode_jpeg_bgr_patches8_batch(const char** paths, int32_t n,
+                                       uint8_t* buf, int32_t h, int32_t w,
+                                       int32_t n_threads, int32_t* status) {
+  if (n_threads < 1) n_threads = 1;
+  if ((h % 8) || (w % 8)) return n;  // caller falls back
+  std::atomic<int32_t> next(0);
+  const int64_t frame_bytes = static_cast<int64_t>(h) * w * 3;
+  auto worker = [&]() {
+    for (;;) {
+      const int32_t i = next.fetch_add(1);
+      if (i >= n) break;
+      status[i] = decode_one_bgr_patches8(paths[i], buf + frame_bytes * i, h,
+                                          w);
     }
   };
   std::vector<std::thread> threads;

@@ -47,6 +47,17 @@ def _load():
         ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int32),
     ]
+    if hasattr(lib, "tsd_decode_jpeg_bgr_patches8_batch"):
+        lib.tsd_decode_jpeg_bgr_patches8_batch.restype = ctypes.c_int
+        lib.tsd_decode_jpeg_bgr_patches8_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
     if hasattr(lib, "tsd_decode_jpeg_yuv420"):
         lib.tsd_decode_jpeg_yuv420.restype = ctypes.c_int
         lib.tsd_decode_jpeg_yuv420.argtypes = [
@@ -139,6 +150,44 @@ def decode_jpeg_bgr_batch(
     if bad:  # mixed sizes or decode errors: let the caller fall back
         return None
     return [buf[i] for i in range(n)]
+
+
+def decode_jpeg_bgr_patches8_batch(
+    paths: list[str], n_threads: int | None = None
+) -> np.ndarray | None:
+    """Threaded decode of same-sized JPEGs into the ``patches8`` layout
+    [n, h/8, w/8, 192] uint8 (k = ky*24 + kx*3 + c — flattened HWIO).
+
+    Same bytes as the BGR batch, repacked at decode time so the TPU stem
+    consumes them as one K=192 matmul with zero on-device relayout
+    (models/cnn_detector.py: _PatchifyStem).  None on failure or when
+    h or w is not a multiple of 8 (caller falls back to BGR)."""
+    lib = _load()
+    if (lib is None or not paths
+            or not hasattr(lib, "tsd_decode_jpeg_bgr_patches8_batch")):
+        return None
+    size = probe_size(paths[0])
+    if size is None:
+        return None
+    h, w = size
+    if h % 8 or w % 8:
+        return None
+    n = len(paths)
+    buf = np.empty((n, h // 8, w // 8, 192), np.uint8)
+    status = np.zeros(n, np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    if n_threads is None:
+        n_threads = min(8, os.cpu_count() or 1)
+    bad = lib.tsd_decode_jpeg_bgr_patches8_batch(
+        arr,
+        n,
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h,
+        w,
+        n_threads,
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return None if bad else buf
 
 
 def decode_jpeg_yuv420(

@@ -173,10 +173,16 @@ def main():
         def __call__(self, fr):
             c = self.cfg
             dtt = c.compute_dtype()
-            x = fr.astype(dtt) / 255.0 - 0.5
-            if c.arch != "v3":
+            if c.arch == "v3":
+                # shipped stem formulation: patchify + K=192 matmul
+                x = cd._PatchifyStem(features=ARCH_BLOCKS[0][0],
+                                     patch=8, dtype=dtt)(fr)
+                blocks = ARCH_BLOCKS[1:][: self.depth - 1]
+            else:
+                x = fr.astype(dtt) / 255.0 - 0.5
                 x = cd._space_to_depth(x, 4)
-            for feat, stride, k in ARCH_BLOCKS[: self.depth]:
+                blocks = ARCH_BLOCKS[: self.depth]
+            for feat, stride, k in blocks:
                 if c.arch == "v3":
                     x = nn.relu(nn.Conv(feat, (k, k),
                                         strides=(stride, stride),

@@ -54,6 +54,13 @@ def main(argv=None) -> int:
                              "missing and --train_path is given)")
     parser.add_argument("--train_path", default=None)
     parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--input_format", default="bgr",
+                        choices=["bgr", "yuv420", "patches8"],
+                        help="decode layout for the CNN detector: yuv420 "
+                        "halves the host->device feed bytes (device-side "
+                        "libjpeg-exact conversion), patches8 decodes into "
+                        "the stem's matmul layout (fastest device path); "
+                        "MSER requires bgr")
     parser.add_argument("--max_wait_ms", type=float, default=200.0,
                         help="max linger before flushing a partial batch")
     parser.add_argument("--poll_ms", type=float, default=50.0)
@@ -84,7 +91,13 @@ def main(argv=None) -> int:
         train_mean_masks,
     )
 
-    if args.detector.upper().startswith("CNN"):
+    use_cnn = args.detector.upper().startswith("CNN")
+    if args.input_format != "bgr" and not use_cnn:
+        print("--input_format yuv420/patches8 requires --detector CNN "
+              "(the MSER pipeline's color ops are defined on the "
+              "cv2.imread-parity BGR decode)")
+        return 2
+    if use_cnn:
         # Flagship family: same dispatch/collect contract, trained weights
         # instead of mean-mask templates (models/cnn_detector.py).
         from opencv_traffic_sign_detector_tpu.models.cnn_detector import (
@@ -125,7 +138,13 @@ def main(argv=None) -> int:
                 # capture the frame bounds so collect can clip CNN boxes to
                 # the image (near-edge boxes otherwise leave the frame —
                 # ADVICE r3 #3; mirrors CNNDetector.run_directory)
-                self._orig_hw = (int(frames.shape[1]), int(frames.shape[2]))
+                if isinstance(frames, tuple):  # yuv420 planes (y, cb, cr)
+                    self._orig_hw = (int(frames[0].shape[1]),
+                                     int(frames[0].shape[2]))
+                    return cnn.dispatch_yuv(*frames)
+                scale = 8 if frames.shape[-1] == 192 else 1  # patches8
+                self._orig_hw = (int(frames.shape[1]) * scale,
+                                 int(frames.shape[2]) * scale)
                 return cnn.dispatch(frames)
 
             def collect(self, out, names, batch):
@@ -207,7 +226,8 @@ def main(argv=None) -> int:
 
         in_flight = None
         for frames, names in batched_frames(
-            args.watch_dir, batch_files, args.batch, device_put=True
+            args.watch_dir, batch_files, args.batch, device_put=True,
+            input_format=args.input_format if use_cnn else "bgr",
         ):
             out = pipe.dispatch(frames)
             if in_flight is not None:

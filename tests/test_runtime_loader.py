@@ -140,10 +140,73 @@ def test_prefetch_yuv420_lane(built, test_frames_dir):
         f for f in sorted(os.listdir(test_frames_dir)) if f.endswith(".jpg")
     ][:5]
     items = list(
-        batched_frames(str(test_frames_dir), files, batch_size=3, yuv420=True)
+        batched_frames(str(test_frames_dir), files, batch_size=3,
+                       input_format="yuv420")
     )
     assert len(items) == 2
     planes, names = items[1]
     assert isinstance(planes, tuple) and len(planes) == 3
     assert planes[0].shape == (3, 800, 1360)
     assert names[-1] == "__pad__"
+
+
+# ---------------------------------------------------------------------------
+# patches8 decode layout (host-side patchify into the stem matmul layout)
+# ---------------------------------------------------------------------------
+
+
+def test_patches8_matches_bgr_repack(built, test_frames_dir):
+    """patches8 is the BGR decode repacked: [h/8, w/8, 192] with
+    k = ky*24 + kx*3 + c (flattened HWIO), byte-for-byte."""
+    p = str(test_frames_dir / "00600.jpg")
+    bgr = loader.decode_jpeg_bgr(p)
+    pat = loader.decode_jpeg_bgr_patches8_batch([p])
+    assert pat is not None and pat.shape == (1, 100, 170, 192)
+    h, w, _ = bgr.shape
+    ref = (
+        bgr.reshape(h // 8, 8, w // 8, 24)
+        .transpose(0, 2, 1, 3)
+        .reshape(h // 8, w // 8, 192)
+    )
+    np.testing.assert_array_equal(pat[0], ref)
+
+
+def test_patches8_stem_equals_frames_stem(built, test_frames_dir):
+    """The v3 model produces identical detections from frames and from
+    the patches8 layout of the same bytes."""
+    import jax.numpy as jnp
+
+    from opencv_traffic_sign_detector_tpu.models import cnn_detector as cd
+
+    p = str(test_frames_dir / "00600.jpg")
+    bgr = loader.decode_jpeg_bgr(p)[:256, :320]  # small crop: fast on CPU
+    pat = (
+        bgr.reshape(32, 8, 40, 24)
+        .transpose(0, 2, 1, 3)
+        .reshape(1, 32, 40, 192)
+    )
+    cfg = cd.CNNDetectorConfig(arch="v3", max_detections=8,
+                               score_threshold=0.05)
+    params = cd.init_params(cfg, 0, (64, 64))
+    o1 = cd._detect_jit(cfg, params, jnp.asarray(bgr[None]), 8, 0.05)
+    o2 = cd._detect_jit(cfg, params, jnp.asarray(pat), 8, 0.05)
+    np.testing.assert_allclose(np.asarray(o1[2]), np.asarray(o2[2]),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(o1[3]), np.asarray(o2[3]))
+
+
+def test_prefetch_patches8_lane(built, test_frames_dir):
+    import os
+
+    from opencv_traffic_sign_detector_tpu.data.prefetch import batched_frames
+
+    files = [
+        f for f in sorted(os.listdir(test_frames_dir)) if f.endswith(".jpg")
+    ][:3]
+    items = list(
+        batched_frames(str(test_frames_dir), files, batch_size=3,
+                       input_format="patches8")
+    )
+    assert len(items) == 1
+    frames, names = items[0]
+    assert frames.shape == (3, 100, 170, 192)
