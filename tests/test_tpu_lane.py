@@ -117,3 +117,59 @@ def test_golden_pipeline_fused_tpu():
         for det in g:
             best = max((_iou(det, q) for q in p), default=0.0)
             assert best > 0.9, f"{fname}: box {det} drifted (best IoU {best:.2f})"
+
+
+def test_cnn_input_formats_agree_on_chip():
+    """The three CNN ingest paths (BGR frames, patches8, yuv420) produce
+    consistent detections on the real chip with the shipped weights."""
+    import jax.numpy as jnp
+
+    from opencv_traffic_sign_detector_tpu.data.images import (
+        load_frames_batch,
+        load_frames_patches8_batch,
+        load_frames_yuv420_batch,
+    )
+    from opencv_traffic_sign_detector_tpu.models.cnn_detector import (
+        CNNDetector,
+    )
+
+    ckpt = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "artifacts", "cnn_detector",
+        "params.npz")
+    if not os.path.exists(ckpt) or not os.path.isdir(DET_DIR):
+        pytest.skip("shipped weights or frames unavailable")
+    det = CNNDetector.load(ckpt)
+    files = sorted(f for f in os.listdir(DET_DIR) if f.endswith(".jpg"))[:4]
+
+    frames = load_frames_batch(DET_DIR, files)
+    pat = load_frames_patches8_batch(DET_DIR, files)
+    yuv = load_frames_yuv420_batch(DET_DIR, files)
+    assert pat is not None and yuv is not None
+
+    o_bgr = det.dispatch(jnp.asarray(frames))
+    o_pat = det.dispatch(jnp.asarray(pat))
+    # patches8 is the same bytes, but XLA fuses the two stem entries
+    # differently per shape, so chip scores agree only to bf16 ULP
+    # (CPU asserts bit-level identity in test_runtime_loader.py)
+    np.testing.assert_allclose(np.asarray(o_bgr[2]), np.asarray(o_pat[2]),
+                               atol=5e-3)
+    assert (np.asarray(o_bgr[3]) == np.asarray(o_pat[3])).mean() > 0.95
+
+    # yuv420 of these 4:4:4 sources is chroma-pooled: detections must
+    # agree at the box level (scores may move slightly)
+    o_yuv = det.dispatch_yuv(*(jnp.asarray(p) for p in yuv))
+    names = list(files)
+    d_bgr = det.collect(o_bgr, names)
+    d_yuv = det.collect(o_yuv, names)
+    assert abs(len(d_bgr) - len(d_yuv)) <= 1
+    from opencv_traffic_sign_detector_tpu.ops.geometry import iou_matrix
+
+    import jax.numpy as _j
+    if d_bgr and d_yuv:
+        a = _j.asarray([[d.x1, d.y1, d.x2, d.y2] for d in d_bgr],
+                       _j.float32)
+        b = _j.asarray([[d.x1, d.y1, d.x2, d.y2] for d in d_yuv],
+                       _j.float32)
+        iou = np.asarray(iou_matrix(a, b))
+        matched = (iou.max(axis=1) > 0.8).mean()
+        assert matched >= 0.9, f"yuv boxes diverged: {matched}"
