@@ -62,9 +62,11 @@ def _run_cnn(args) -> int:
     import os as _os
 
     from opencv_traffic_sign_detector_tpu.models.cnn_detector import (
-        CNNDetector,
         CNNDetectorConfig,
         saved_meta,
+    )
+    from opencv_traffic_sign_detector_tpu.models.cnn_quant import (
+        load_detector,
     )
 
     parts = args.detector.split("_")
@@ -89,7 +91,9 @@ def _run_cnn(args) -> int:
     try:
         print(f"[1/4] loading CNN detector weights from {args.cnn_params} ...")
         with stage("load CNN detector weights"):
-            det = CNNDetector.load(args.cnn_params, cfg)
+            # float or int8 artifact, chosen by the checkpoint's own
+            # __quant__ tag (models/cnn_quant.py)
+            det = load_detector(args.cnn_params, cfg)
 
         print(f"[2/4] detecting over {test_path} "
               f"(score threshold {cfg.score_threshold}) ...")

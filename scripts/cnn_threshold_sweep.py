@@ -57,10 +57,14 @@ def main():
     from opencv_traffic_sign_detector_tpu.utils.serialization import (
         write_results_file)
 
+    from opencv_traffic_sign_detector_tpu.models.cnn_quant import (
+        load_detector, saved_quant)
+
     arch = args.arch or cd.saved_arch(args.params) or "base"
     cfg = cd.CNNDetectorConfig(score_threshold=0.1, arch=arch)
-    det = cd.CNNDetector.load(args.params, cfg)
-    print(f"arch {arch}, input_scale {args.input_scale}")
+    det = load_detector(args.params, cfg)  # float or int8, by __quant__ tag
+    print(f"arch {arch} (quant {saved_quant(args.params)}), "
+          f"input_scale {args.input_scale}")
 
     hd = args.input_scale == "1080p"
     if hd:

@@ -101,9 +101,11 @@ def main(argv=None) -> int:
         # Flagship family: same dispatch/collect contract, trained weights
         # instead of mean-mask templates (models/cnn_detector.py).
         from opencv_traffic_sign_detector_tpu.models.cnn_detector import (
-            CNNDetector,
             CNNDetectorConfig,
             saved_meta,
+        )
+        from opencv_traffic_sign_detector_tpu.models.cnn_quant import (
+            load_detector,
         )
 
         parts = args.detector.split("_")
@@ -123,7 +125,7 @@ def main(argv=None) -> int:
             print(f"CNN weights {args.cnn_params!r} not found "
                   "(train with scripts/train_cnn.py)")
             return 2
-        cnn = CNNDetector.load(args.cnn_params, ccfg)
+        cnn = load_detector(args.cnn_params, ccfg)
 
         class _CNNPipe:
             """Adapt CNNDetector to the server's (out, names, batch) collect.
