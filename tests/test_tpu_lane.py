@@ -173,3 +173,42 @@ def test_cnn_input_formats_agree_on_chip():
         iou = np.asarray(iou_matrix(a, b))
         matched = (iou.max(axis=1) > 0.8).mean()
         assert matched >= 0.9, f"yuv boxes diverged: {matched}"
+
+
+def test_cnn_int8_agrees_on_chip():
+    """The int8 serving artifact must land on the float model's boxes on
+    the real chip (quantize_cnn.py artifact, models/cnn_quant.py path)."""
+    import jax.numpy as jnp
+
+    from opencv_traffic_sign_detector_tpu.data.images import (
+        load_frames_batch,
+    )
+    from opencv_traffic_sign_detector_tpu.models.cnn_detector import (
+        CNNDetector,
+    )
+    from opencv_traffic_sign_detector_tpu.models.cnn_quant import (
+        QuantCNNDetector,
+    )
+    from opencv_traffic_sign_detector_tpu.ops.geometry import iou_matrix
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ckpt = os.path.join(root, "artifacts", "cnn_detector", "params.npz")
+    qckpt = os.path.join(root, "artifacts", "cnn_detector",
+                         "params_int8.npz")
+    if not (os.path.exists(ckpt) and os.path.exists(qckpt)
+            and os.path.isdir(DET_DIR)):
+        pytest.skip("shipped weights or frames unavailable")
+    det = CNNDetector.load(ckpt)
+    qdet = QuantCNNDetector.load(qckpt)
+    files = sorted(f for f in os.listdir(DET_DIR) if f.endswith(".jpg"))[:8]
+    frames = load_frames_batch(DET_DIR, files)
+
+    d_f = det.collect(det.dispatch(jnp.asarray(frames)), list(files))
+    d_q = qdet.collect(qdet.dispatch(jnp.asarray(frames)), list(files))
+    assert d_f, "float model found nothing on these frames"
+    assert abs(len(d_f) - len(d_q)) <= max(1, len(d_f) // 5)
+    a = jnp.asarray([[d.x1, d.y1, d.x2, d.y2] for d in d_f], jnp.float32)
+    b = jnp.asarray([[d.x1, d.y1, d.x2, d.y2] for d in d_q], jnp.float32)
+    iou = np.asarray(iou_matrix(a, b))
+    matched = (iou.max(axis=1) > 0.7).mean()
+    assert matched >= 0.85, f"int8 boxes diverged from float: {matched}"
