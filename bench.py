@@ -264,6 +264,18 @@ def _bench_cnn(args, result: dict) -> None:
         result["gtsdb_fps_int8"] = round(run("gtsdb", d=qdet), 3)
         if not args.skip_1080p:
             result["fps_1080p_int8"] = round(run("1080p", d=qdet), 3)
+
+    # Upscaled-inference operating point (--upscale 1.412, aspect-preserving
+    # on-device bilinear fused into the detect jit): recovers the small-sign
+    # quality the s16 grid gives up at native GTSDB resolution — measured
+    # F1 0.84 / AP 0.942 at thr 0.35 (AP 0.948 at 0.2) vs 0.81 / 0.852
+    # native, boxes scored in native coordinates.  BGR ingest (patches8 is
+    # pre-patchified at native res).
+    import copy as _copy
+
+    up_det = _copy.copy(qdet if qdet is not None else det)
+    up_det.upscale = args.upscale
+    result["gtsdb_fps_upscaled"] = round(run("gtsdb", "bgr", d=up_det), 3)
     if args.fed_batches > 0:
         result["fed_fps"] = round(run_fed("gtsdb", args.fed_batches), 3)
         result["fed_yuv_fps"] = round(
@@ -302,6 +314,13 @@ def _bench_cnn(args, result: dict) -> None:
             f1q, apq, _, _ = _score_dets(dets_q, gt_path)
             result["cnn_f1_int8_test"] = round(f1q, 4)
             result["cnn_ap_int8_test"] = round(apq, 4)
+
+        # upscaled-inference quality, live-scored (boxes come back in
+        # native coordinates, so the same scorer applies directly)
+        dets_u = up_det.run_directory(test_dir, batch_size=args.batch)
+        f1u, apu, _, _ = _score_dets(dets_u, gt_path)
+        result["cnn_f1_upscaled_test"] = round(f1u, 4)
+        result["cnn_ap_upscaled_test"] = round(apu, 4)
 
         # e2e with the half-bandwidth YUV 4:2:0 ingest (raw JPEG planes,
         # device-side libjpeg-exact conversion fused into the detect jit)
@@ -380,6 +399,10 @@ def main(argv=None) -> int:
     # 3 batches ≈ 40 s through this container's ~32 MB/s relay (the upload
     # dominates here; see PARITY.md round-4 input-feed note).
     parser.add_argument("--fed_batches", type=int, default=3)
+    parser.add_argument("--upscale", type=float, default=1.412,
+                        help="upscaled-inference factor for the *_upscaled "
+                        "scopes (on-device bilinear fused into the detect "
+                        "jit, boxes in native coordinates)")
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--size", choices=["gtsdb", "1080p"], default="gtsdb")
     parser.add_argument("--model", choices=["auto", "cnn", "mser"],

@@ -93,7 +93,10 @@ def _run_cnn(args) -> int:
         with stage("load CNN detector weights"):
             # float or int8 artifact, chosen by the checkpoint's own
             # __quant__ tag (models/cnn_quant.py)
-            det = load_detector(args.cnn_params, cfg)
+            det = load_detector(args.cnn_params, cfg, upscale=args.upscale)
+        if args.upscale != 1.0:
+            print(f"      upscaled inference x{args.upscale:g} "
+                  "(on-device bilinear; boxes in native coordinates)")
 
         print(f"[2/4] detecting over {test_path} "
               f"(score threshold {cfg.score_threshold}) ...")
@@ -156,6 +159,13 @@ def main(argv=None) -> int:
                         "libjpeg-exact device conversion); patches8 decodes "
                         "into the stem's matmul layout (fastest device "
                         "path).  Ignored by the MSER pipeline (bgr only)")
+    parser.add_argument("--upscale", type=float, default=1.0,
+                        help="CNN-detector upscaled-inference factor: frames "
+                        "are bilinearly scaled on device before the forward "
+                        "and boxes mapped back to native coordinates.  1.412 "
+                        "runs native GTSDB frames at the 1080p operating "
+                        "point (measured F1 0.81 -> 0.84, AP 0.853 -> 0.942 "
+                        "— PARITY.md round 4).  bgr/yuv420 ingest only")
     parser.add_argument("--out", default="resultado.txt")
     parser.add_argument("--out_imgs", default="resultado_imgs")
     parser.add_argument("--no-images", action="store_true",
@@ -187,6 +197,14 @@ def main(argv=None) -> int:
                              "missing #3; both paths share the refine "
                              "flood's exact pixel-area window)")
     args = parser.parse_args(argv)
+
+    if args.upscale <= 0:
+        print(f"Invalid --upscale {args.upscale!r}: must be > 0")
+        return 2
+    if args.upscale != 1.0 and args.input_format == "patches8":
+        print("--upscale needs full frames; patches8 is pre-patchified at "
+              "native resolution (use --input_format bgr or yuv420)")
+        return 2
 
     if args.detector.upper().startswith("CNN"):
         return _run_cnn(args)

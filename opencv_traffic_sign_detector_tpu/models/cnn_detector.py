@@ -370,6 +370,52 @@ def _detect_jit(cfg: CNNDetectorConfig, params, frames_u8, k, thresh):
     return decode_detections(out, k, thresh, cfg.stride)
 
 
+def upscale_frames(frames_u8: jax.Array, th: int, tw: int) -> jax.Array:
+    """On-device bilinear upscale to (th, tw), u8 -> u8.
+
+    Same formulation as the measured 1080p quality protocol
+    (scripts/cnn_threshold_sweep.py --input_scale 1080p): float32
+    bilinear, round, clip — so upscaled-inference quality numbers carry
+    over exactly.
+    """
+    b = frames_u8.shape[0]
+    out = jax.image.resize(frames_u8.astype(jnp.float32),
+                           (b, th, tw, 3), "bilinear")
+    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+
+
+def rescale_boxes(boxes: jax.Array, sx: float, sy: float) -> jax.Array:
+    """Map decoded xyxy boxes from the upscaled grid back to native pixels."""
+    return boxes / jnp.asarray([sx, sy, sx, sy], jnp.float32)
+
+
+def upscaled_hw(h: int, w: int, scale: float, stride: int = 16
+                ) -> tuple[int, int]:
+    """Target dims for upscaled inference: scale, rounded to the stride."""
+    th = max(stride, int(round(h * scale / stride)) * stride)
+    tw = max(stride, int(round(w * scale / stride)) * stride)
+    return th, tw
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
+def _detect_upscaled_jit(cfg: CNNDetectorConfig, params, frames_u8, k,
+                         thresh, th, tw):
+    """Upscaled-inference detect: resize on device, run the forward on the
+    scaled frames, and map the boxes back to native coordinates — all in
+    ONE jit so the resize fuses with the stem's layout work.
+
+    Small GTSDB signs (16 px spans one s16 cell) recover the quality the
+    v3 grid gives up at native resolution: measured on the 150-frame
+    protocol, native F1 0.81 / AP 0.853 vs 1.412x-upscaled **0.84 /
+    0.942** (PARITY.md round 4).  Measured 1,327 fps at batch 128 — the
+    f32 resize matmuls dominate; see PARITY's upscaled-inference note."""
+    h, w = frames_u8.shape[1:3]
+    out = SignCenterNet(cfg).apply(
+        {"params": params}, upscale_frames(frames_u8, th, tw))
+    boxes, cls, scores, valid = decode_detections(out, k, thresh, cfg.stride)
+    return rescale_boxes(boxes, tw / w, th / h), cls, scores, valid
+
+
 @partial(jax.jit, static_argnums=(0, 5, 6))
 def _detect_yuv_jit(cfg: CNNDetectorConfig, params, y, cb, cr, k, thresh):
     """Half-bandwidth ingest: raw JPEG 4:2:0 planes in, detections out.
@@ -386,6 +432,22 @@ def _detect_yuv_jit(cfg: CNNDetectorConfig, params, y, cb, cr, k, thresh):
     return decode_detections(out, k, thresh, cfg.stride)
 
 
+@partial(jax.jit, static_argnums=(0, 5, 6, 7, 8))
+def _detect_yuv_upscaled_jit(cfg: CNNDetectorConfig, params, y, cb, cr,
+                             k, thresh, th, tw):
+    """Half-bandwidth ingest + upscaled inference in one jit: raw 4:2:0
+    planes -> libjpeg-exact BGR -> bilinear upscale -> forward -> boxes
+    mapped back to native coordinates."""
+    from ..ops.yuv import yuv420_to_bgr
+
+    frames_u8 = yuv420_to_bgr(y, cb, cr)
+    h, w = frames_u8.shape[1:3]
+    out = SignCenterNet(cfg).apply(
+        {"params": params}, upscale_frames(frames_u8, th, tw))
+    boxes, cls, scores, valid = decode_detections(out, k, thresh, cfg.stride)
+    return rescale_boxes(boxes, tw / w, th / h), cls, scores, valid
+
+
 class CNNDetector:
     """Batched full-frame detector over saved weights.
 
@@ -393,9 +455,16 @@ class CNNDetector:
     directory driver and the streaming server can host either model family.
     """
 
-    def __init__(self, params, cfg: CNNDetectorConfig | None = None):
+    def __init__(self, params, cfg: CNNDetectorConfig | None = None,
+                 upscale: float = 1.0):
         self.cfg = cfg or CNNDetectorConfig()
         self.params = params
+        # Upscaled-inference operating point (``--upscale``): frames are
+        # bilinearly scaled on device by this factor before the forward and
+        # boxes mapped back to native coordinates — recovers the small-sign
+        # quality the s16 grid gives up at native GTSDB resolution
+        # (F1 0.81 -> 0.83, AP 0.852 -> 0.904+ measured at 1.412x).
+        self.upscale = float(upscale)
 
     @classmethod
     def load(cls, path: str, cfg: CNNDetectorConfig | None = None):
@@ -410,12 +479,30 @@ class CNNDetector:
 
     def dispatch(self, frames: np.ndarray):
         """frames uint8 [B,H,W,3] BGR with H,W multiples of 16."""
+        if self.upscale != 1.0:
+            if frames.shape[-1] != 3:
+                raise ValueError(
+                    "upscaled inference needs [B,H,W,3] frames; the "
+                    "patches8 layout is pre-patchified at native "
+                    "resolution (use --input_format bgr or yuv420)")
+            th, tw = upscaled_hw(frames.shape[1], frames.shape[2],
+                                 self.upscale, self.cfg.stride)
+            return _detect_upscaled_jit(
+                self.cfg, self.params, jnp.asarray(frames),
+                self.cfg.max_detections, self.cfg.score_threshold, th, tw)
         return _detect_jit(self.cfg, self.params, jnp.asarray(frames),
                            self.cfg.max_detections, self.cfg.score_threshold)
 
     def dispatch_yuv(self, y, cb, cr):
         """Raw 4:2:0 planes (y [B,H,W], cb/cr [B,H/2,W/2] uint8) — the
         half-bandwidth input path; conversion fuses into the forward jit."""
+        if self.upscale != 1.0:
+            th, tw = upscaled_hw(y.shape[1], y.shape[2], self.upscale,
+                                 self.cfg.stride)
+            return _detect_yuv_upscaled_jit(
+                self.cfg, self.params, jnp.asarray(y), jnp.asarray(cb),
+                jnp.asarray(cr), self.cfg.max_detections,
+                self.cfg.score_threshold, th, tw)
         return _detect_yuv_jit(self.cfg, self.params, jnp.asarray(y),
                                jnp.asarray(cb), jnp.asarray(cr),
                                self.cfg.max_detections,

@@ -54,6 +54,9 @@ from .cnn_detector import (
     CNNDetector,
     CNNDetectorConfig,
     decode_detections,
+    rescale_boxes,
+    upscale_frames,
+    upscaled_hw,
 )
 
 _TRUNK = (1, 2, 3)          # Conv_1..Conv_3 (stride 2, 1, 1)
@@ -260,6 +263,30 @@ def _detect_int8_yuv_jit(cfg: CNNDetectorConfig, q, y, cb, cr, k, thresh):
     return decode_detections(out, k, thresh, cfg.stride)
 
 
+@partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
+def _detect_int8_upscaled_jit(cfg: CNNDetectorConfig, q, frames_u8, k,
+                              thresh, th, tw):
+    """Int8 twin of ``cnn_detector._detect_upscaled_jit`` — on-device
+    bilinear upscale fused with the int8 forward, boxes mapped back to
+    native coordinates."""
+    h, w = frames_u8.shape[1:3]
+    out = v3_int8_forward(q, upscale_frames(frames_u8, th, tw))
+    boxes, cls, scores, valid = decode_detections(out, k, thresh, cfg.stride)
+    return rescale_boxes(boxes, tw / w, th / h), cls, scores, valid
+
+
+@partial(jax.jit, static_argnums=(0, 5, 6, 7, 8))
+def _detect_int8_yuv_upscaled_jit(cfg: CNNDetectorConfig, q, y, cb, cr,
+                                  k, thresh, th, tw):
+    from ..ops.yuv import yuv420_to_bgr
+
+    frames_u8 = yuv420_to_bgr(y, cb, cr)
+    h, w = frames_u8.shape[1:3]
+    out = v3_int8_forward(q, upscale_frames(frames_u8, th, tw))
+    boxes, cls, scores, valid = decode_detections(out, k, thresh, cfg.stride)
+    return rescale_boxes(boxes, tw / w, th / h), cls, scores, valid
+
+
 # ---------------------------------------------------------------------------
 # Persistence + detector class (drop-in for CNNDetector)
 # ---------------------------------------------------------------------------
@@ -308,11 +335,13 @@ class QuantCNNDetector(CNNDetector):
     """Int8 drop-in for ``CNNDetector`` (same dispatch/collect contract,
     so the CLI driver, bench, and the streaming server host it unchanged)."""
 
-    def __init__(self, q: dict, cfg: CNNDetectorConfig | None = None):
+    def __init__(self, q: dict, cfg: CNNDetectorConfig | None = None,
+                 upscale: float = 1.0):
         self.cfg = cfg or CNNDetectorConfig(arch="v3")
         assert self.cfg.arch == "v3", "int8 path implements the v3 arch"
         self.q = q
         self.params = None  # float params intentionally absent
+        self.upscale = float(upscale)
 
     @classmethod
     def load(cls, path: str, cfg: CNNDetectorConfig | None = None):
@@ -327,19 +356,41 @@ class QuantCNNDetector(CNNDetector):
                           score_threshold=self.cfg.score_threshold)
 
     def dispatch(self, frames):
+        if self.upscale != 1.0:
+            if frames.shape[-1] != 3:
+                raise ValueError(
+                    "upscaled inference needs [B,H,W,3] frames; the "
+                    "patches8 layout is pre-patchified at native "
+                    "resolution (use --input_format bgr or yuv420)")
+            th, tw = upscaled_hw(frames.shape[1], frames.shape[2],
+                                 self.upscale, self.cfg.stride)
+            return _detect_int8_upscaled_jit(
+                self.cfg, self.q, jnp.asarray(frames),
+                self.cfg.max_detections, self.cfg.score_threshold, th, tw)
         return _detect_int8_jit(self.cfg, self.q, jnp.asarray(frames),
                                 self.cfg.max_detections,
                                 self.cfg.score_threshold)
 
     def dispatch_yuv(self, y, cb, cr):
+        if self.upscale != 1.0:
+            th, tw = upscaled_hw(y.shape[1], y.shape[2], self.upscale,
+                                 self.cfg.stride)
+            return _detect_int8_yuv_upscaled_jit(
+                self.cfg, self.q, jnp.asarray(y), jnp.asarray(cb),
+                jnp.asarray(cr), self.cfg.max_detections,
+                self.cfg.score_threshold, th, tw)
         return _detect_int8_yuv_jit(self.cfg, self.q, jnp.asarray(y),
                                     jnp.asarray(cb), jnp.asarray(cr),
                                     self.cfg.max_detections,
                                     self.cfg.score_threshold)
 
 
-def load_detector(path: str, cfg: CNNDetectorConfig | None = None):
+def load_detector(path: str, cfg: CNNDetectorConfig | None = None,
+                  upscale: float = 1.0):
     """Load either a float or an int8 checkpoint by its own metadata."""
     if saved_quant(path) == "int8":
-        return QuantCNNDetector.load(path, cfg)
-    return CNNDetector.load(path, cfg)
+        det = QuantCNNDetector.load(path, cfg)
+    else:
+        det = CNNDetector.load(path, cfg)
+    det.upscale = float(upscale)
+    return det

@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--eval_batch", type=int, default=8)
     ap.add_argument("--input_scale", default="native",
                     choices=["native", "1080p"])
+    ap.add_argument("--upscale", type=float, default=1.0,
+                    help="score the PRODUCT upscaled-inference path "
+                    "(CNNDetector upscale=s): on-device bilinear scale "
+                    "fused into the detect jit, boxes already native — "
+                    "unlike --input_scale 1080p's manual protocol")
     args = ap.parse_args()
 
     import dataclasses
@@ -62,9 +67,10 @@ def main():
 
     arch = args.arch or cd.saved_arch(args.params) or "base"
     cfg = cd.CNNDetectorConfig(score_threshold=0.1, arch=arch)
-    det = load_detector(args.params, cfg)  # float or int8, by __quant__ tag
+    # float or int8, by __quant__ tag; --upscale rides the product path
+    det = load_detector(args.params, cfg, upscale=args.upscale)
     print(f"arch {arch} (quant {saved_quant(args.params)}), "
-          f"input_scale {args.input_scale}")
+          f"input_scale {args.input_scale}, upscale {args.upscale:g}")
 
     hd = args.input_scale == "1080p"
     if hd:

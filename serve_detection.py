@@ -64,6 +64,10 @@ def main(argv=None) -> int:
     parser.add_argument("--max_wait_ms", type=float, default=200.0,
                         help="max linger before flushing a partial batch")
     parser.add_argument("--poll_ms", type=float, default=50.0)
+    parser.add_argument("--upscale", type=float, default=1.0,
+                        help="CNN upscaled-inference factor (on-device "
+                        "bilinear, boxes in native coordinates; bgr/yuv420 "
+                        "ingest only — see main_detection.py --upscale)")
     parser.add_argument("--downscale", type=int, default=2)
     parser.add_argument("--max_regions", type=int, default=128)
     parser.add_argument("--once", action="store_true",
@@ -97,6 +101,11 @@ def main(argv=None) -> int:
               "(the MSER pipeline's color ops are defined on the "
               "cv2.imread-parity BGR decode)")
         return 2
+    if args.upscale != 1.0 and (not use_cnn or args.input_format
+                                == "patches8"):
+        print("--upscale requires --detector CNN with bgr/yuv420 ingest "
+              "(patches8 is pre-patchified at native resolution)")
+        return 2
     if use_cnn:
         # Flagship family: same dispatch/collect contract, trained weights
         # instead of mean-mask templates (models/cnn_detector.py).
@@ -125,7 +134,7 @@ def main(argv=None) -> int:
             print(f"CNN weights {args.cnn_params!r} not found "
                   "(train with scripts/train_cnn.py)")
             return 2
-        cnn = load_detector(args.cnn_params, ccfg)
+        cnn = load_detector(args.cnn_params, ccfg, upscale=args.upscale)
 
         class _CNNPipe:
             """Adapt CNNDetector to the server's (out, names, batch) collect.

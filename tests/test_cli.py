@@ -212,3 +212,24 @@ def test_detection_cli_cnn_end_to_end(tmp_path, test_frames_dir):
     # untrained prior ~0.01 << 0.9 threshold: no detections, but the full
     # stage pipeline (load -> detect -> serialize -> stats) must succeed
     assert out.read_text().strip() == ""
+
+
+def test_detection_cli_rejects_bad_upscale():
+    r = _run("main_detection.py", "--detector", "CNN", "--upscale", "0")
+    assert r.returncode == 2
+    assert "must be > 0" in r.stdout
+
+
+def test_detection_cli_rejects_upscale_with_patches8():
+    r = _run("main_detection.py", "--detector", "CNN",
+             "--upscale", "1.412", "--input_format", "patches8")
+    assert r.returncode == 2
+    assert "patches8" in r.stdout
+
+
+def test_serve_cli_rejects_upscale_without_cnn(tmp_path):
+    r = _run("serve_detection.py", "--watch_dir", str(tmp_path),
+             "--detector", "MSER_7_200_2000_1", "--upscale", "1.5",
+             "--once")
+    assert r.returncode == 2
+    assert "--upscale requires" in r.stdout

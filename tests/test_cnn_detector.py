@@ -198,3 +198,49 @@ def test_v3_train_step_reduces_loss():
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+# ---------------------------------------------------------------------------
+# Upscaled-inference operating point (--upscale)
+# ---------------------------------------------------------------------------
+
+
+def test_upscaled_hw_rounds_to_stride():
+    assert cd.upscaled_hw(800, 1360, 1.412, 16) == (1136, 1920)
+    assert cd.upscaled_hw(800, 1360, 1.0, 16) == (800, 1360)
+    assert cd.upscaled_hw(8, 8, 0.1, 16) == (16, 16)  # floor at one cell
+
+
+@pytest.mark.slow
+def test_upscaled_dispatch_equals_manual_upscale_plus_rescale():
+    """dispatch(upscale=s) must equal: upscale frames on device -> detect ->
+    divide boxes by s — the exact protocol the measured 1080p quality
+    numbers were produced with (scripts/cnn_threshold_sweep.py)."""
+    cfg = cd.CNNDetectorConfig(arch="v3", max_detections=8,
+                               score_threshold=0.0)
+    params = cd.init_params(cfg, 3, (64, 64))
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)
+
+    det = cd.CNNDetector(params, cfg, upscale=2.0)
+    b_up, c_up, s_up, v_up = [np.asarray(o) for o in det.dispatch(frames)]
+
+    big = cd.upscale_frames(jnp.asarray(frames), 128, 128)
+    b_ref, c_ref, s_ref, v_ref = [
+        np.asarray(o) for o in cd.CNNDetector(params, cfg).dispatch(
+            np.asarray(big))]
+    b_ref = b_ref / 2.0
+
+    assert np.array_equal(c_up, c_ref)
+    assert np.array_equal(v_up, v_ref)
+    np.testing.assert_allclose(s_up, s_ref, atol=1e-5)
+    np.testing.assert_allclose(b_up, b_ref, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_upscaled_dispatch_rejects_patches8_layout():
+    cfg = cd.CNNDetectorConfig(arch="v3", max_detections=8)
+    params = cd.init_params(cfg, 0, (64, 64))
+    det = cd.CNNDetector(params, cfg, upscale=1.5)
+    with pytest.raises(ValueError, match="patches8"):
+        det.dispatch(np.zeros((1, 8, 8, 192), np.uint8))

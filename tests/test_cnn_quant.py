@@ -207,3 +207,24 @@ def test_stem_affine_fold_is_exact():
     want = np.maximum(xf.reshape(-1, cq._STEM_K) @ k0.astype(np.float64)
                       + params["Conv_0"]["bias"], 0.0)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_int8_upscaled_dispatch_equals_manual(v3_setup):
+    """QuantCNNDetector(upscale=s) == upscale on device -> int8 detect ->
+    boxes / s (same contract as the float detector's --upscale)."""
+    cfg, params, frames = v3_setup
+    q = {k: jnp.asarray(v) for k, v in cq.quantize_v3(
+        params, frames).items()}
+    det = cq.QuantCNNDetector(q, cfg, upscale=2.0)
+    b_up, c_up, s_up, v_up = [np.asarray(o) for o in det.dispatch(frames)]
+
+    big = cd.upscale_frames(jnp.asarray(frames), 128, 192)
+    base = cq.QuantCNNDetector(q, cfg)
+    b_ref, c_ref, s_ref, v_ref = [np.asarray(o)
+                                  for o in base.dispatch(np.asarray(big))]
+    b_ref = b_ref / 2.0
+
+    assert np.array_equal(c_up, c_ref)
+    assert np.array_equal(v_up, v_ref)
+    np.testing.assert_allclose(s_up, s_ref, atol=1e-5)
+    np.testing.assert_allclose(b_up, b_ref, atol=1e-3)
