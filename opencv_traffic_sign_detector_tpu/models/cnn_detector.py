@@ -375,13 +375,14 @@ def upscale_frames(frames_u8: jax.Array, th: int, tw: int) -> jax.Array:
 
     Same formulation as the measured 1080p quality protocol
     (scripts/cnn_threshold_sweep.py --input_scale 1080p): float32
-    bilinear, round, clip — so upscaled-inference quality numbers carry
-    over exactly.
+    bilinear, round, clip — computed via the phase-sliced 2-tap passes in
+    ops/upscale.py (±1 count vs jax.image.resize, measured
+    quality-neutral; dense f32 fallback for degenerate ratios) so the
+    resize costs VPU bandwidth instead of dense-matmul MXU FLOPs.
     """
-    b = frames_u8.shape[0]
-    out = jax.image.resize(frames_u8.astype(jnp.float32),
-                           (b, th, tw, 3), "bilinear")
-    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+    from ..ops.upscale import upscale_bilinear_u8
+
+    return upscale_bilinear_u8(frames_u8, th, tw)
 
 
 def rescale_boxes(boxes: jax.Array, sx: float, sy: float) -> jax.Array:
