@@ -92,7 +92,14 @@ def _upscale_axis(x: jax.Array, axis: int, out_size: int) -> jax.Array:
     """
     in_size = x.shape[axis]
     plan = _phase_plan(in_size, out_size)
-    assert plan is not None, "caller gates on _phase_plan"
+    if plan is None:
+        # ADVICE r4 #3: explicit error (asserts vanish under python -O) —
+        # callers gate on _phase_plan and route degenerate axes to
+        # _dense_axis, so reaching this means a direct mis-call.
+        raise ValueError(
+            f"no phase plan for axis {axis}: {in_size} -> {out_size} "
+            f"(phase count exceeds _MAX_PHASES={_MAX_PHASES}); use the "
+            "dense resize path")
     A, g, T, taps = plan
     W = _band_matrix(A, T, taps)
 
@@ -125,26 +132,36 @@ def _upscale_axis(x: jax.Array, axis: int, out_size: int) -> jax.Array:
     return out.reshape(b, h, out_size, c)
 
 
+def _dense_axis(x: jax.Array, axis: int, out_size: int) -> jax.Array:
+    """Single-axis dense bilinear resize (fallback for degenerate ratios)."""
+    shape = list(x.shape)
+    shape[axis] = out_size
+    return jax.image.resize(x.astype(jnp.float32), tuple(shape), "bilinear")
+
+
 def upscale_bilinear_u8(frames_u8: jax.Array, th: int, tw: int) -> jax.Array:
-    """Bilinear upscale of [B, H, W, C] uint8 frames to (th, tw), uint8 out.
+    """Bilinear resize of [B, H, W, C] uint8 frames to (th, tw), uint8 out.
 
     Float32 interpolation, round, clip — the exact formulation the measured
     upscaled-inference quality numbers used (models/cnn_detector.py:
     upscale_frames), but phase-sliced so the hot path costs bandwidth, not
-    dense-matmul FLOPs.
+    dense-matmul FLOPs.  Downscaling axes (ADVICE r4 #1: ``--upscale 0.9``
+    used to crash at trace time) ride the dense ``jax.image.resize`` path,
+    and each axis is gated independently (ADVICE r4 #2) so one degenerate
+    ratio no longer forfeits the phase-sliced saving on the other axis.
     """
     b, h, w, c = frames_u8.shape
-    if th < h or tw < w:
-        raise ValueError(f"upscale only: ({h},{w}) -> ({th},{tw})")
-    if _phase_plan(h, th) is None or _phase_plan(w, tw) is None:
-        out = jax.image.resize(frames_u8.astype(jnp.float32),
-                               (b, th, tw, c), "bilinear")
-        return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
-    # u8 feeds the first pass directly (the convert fuses into the dot);
-    # the inter-pass intermediate is f32
     x = frames_u8
+    # u8 feeds the first phase-sliced pass directly (the convert fuses into
+    # the dot); the inter-pass intermediate is f32
     if th != h:
-        x = _upscale_axis(x, 1, th)
+        if th < h or _phase_plan(h, th) is None:
+            x = _dense_axis(x, 1, th)
+        else:
+            x = _upscale_axis(x, 1, th)
     if tw != w:
-        x = _upscale_axis(x, 2, tw)
+        if tw < w or _phase_plan(w, tw) is None:
+            x = _dense_axis(x, 2, tw)
+        else:
+            x = _upscale_axis(x, 2, tw)
     return jnp.clip(jnp.round(x), 0, 255).astype(jnp.uint8)

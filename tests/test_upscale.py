@@ -65,10 +65,38 @@ def test_degenerate_ratio_falls_back_to_dense():
     np.testing.assert_array_equal(got, _oracle(frames, 256, 16))
 
 
-def test_rejects_downscale():
-    frames = jnp.zeros((1, 32, 32, 3), jnp.uint8)
-    with pytest.raises(ValueError, match="upscale only"):
-        up.upscale_bilinear_u8(frames, 16, 32)
+def test_downscale_routes_to_dense_resize():
+    """ADVICE r4 #1: sub-1.0 factors must work (dense path), not crash."""
+    rng = np.random.default_rng(7)
+    frames = jnp.asarray(rng.integers(0, 256, (1, 32, 48, 3),
+                                      dtype=np.uint8))
+    got = np.asarray(up.upscale_bilinear_u8(frames, 16, 24))
+    np.testing.assert_array_equal(got, _oracle(frames, 16, 24))
+    # mixed: downscale rows, upscale cols — each axis gated independently
+    got = np.asarray(up.upscale_bilinear_u8(frames, 16, 96))
+    want = _oracle(frames, 16, 96)
+    assert np.abs(got.astype(np.int16) - want.astype(np.int16)).max() <= 1
+
+
+def test_per_axis_fallback_keeps_phase_path_on_good_axis():
+    """ADVICE r4 #2: one degenerate axis (T > _MAX_PHASES) must not force
+    the other axis onto the dense path — result still matches the oracle."""
+    rng = np.random.default_rng(9)
+    # rows 127 -> 256 is degenerate (gcd 1); cols 16 -> 24 has T=3
+    frames = jnp.asarray(rng.integers(0, 256, (1, 127, 16, 3),
+                                      dtype=np.uint8))
+    assert up._phase_plan(127, 256) is None
+    assert up._phase_plan(16, 24) is not None
+    got = np.asarray(up.upscale_bilinear_u8(frames, 256, 24))
+    want = _oracle(frames, 256, 24)
+    assert np.abs(got.astype(np.int16) - want.astype(np.int16)).max() <= 1
+
+
+def test_upscale_axis_raises_on_degenerate_plan():
+    """ADVICE r4 #3: a direct mis-call gets a ValueError, not an assert."""
+    frames = jnp.zeros((1, 127, 16, 3), jnp.uint8)
+    with pytest.raises(ValueError, match="no phase plan"):
+        up._upscale_axis(frames, 1, 256)
 
 
 def test_phase_plan_weights_sum_to_one():
