@@ -258,6 +258,35 @@ class SignCenterNet(nn.Module):
         return {"hm": hm, "size": size, "off": off}
 
 
+class V3TrunkHeads(nn.Module):
+    """The v3 chain from stem activations onward (Conv_1..Conv_6).
+
+    Module names match ``SignCenterNet``'s v3 branch exactly, so this
+    applies with the sub-tree ``{k: params[k] for k != "Conv_0"}`` of any
+    v3 checkpoint and produces bit-identical head maps.  Exists so paths
+    that compute the stem themselves (ops/fused_upscale.py: the folded
+    upscale+patchify+stem) can run the rest of the network unchanged.
+    """
+
+    cfg: CNNDetectorConfig = field(default_factory=CNNDetectorConfig)
+
+    @nn.compact
+    def __call__(self, stem_out):
+        dt = self.cfg.compute_dtype()
+        x = nn.relu(nn.Conv(128, (3, 3), strides=(2, 2), dtype=dt,
+                            name="Conv_1")(stem_out))
+        x = nn.relu(nn.Conv(128, (3, 3), dtype=dt, name="Conv_2")(x))
+        fin = nn.relu(nn.Conv(128, (3, 3), dtype=dt, name="Conv_3")(x))
+        hm = nn.Conv(NUM_CLASSES, (3, 3), dtype=dt,
+                     bias_init=nn.initializers.constant(-4.59),
+                     name="Conv_4")(fin).astype(jnp.float32)
+        size = nn.Conv(2, (3, 3), dtype=dt,
+                       name="Conv_5")(fin).astype(jnp.float32)
+        off = nn.Conv(2, (3, 3), dtype=dt,
+                      name="Conv_6")(fin).astype(jnp.float32)
+        return {"hm": hm, "size": size, "off": off}
+
+
 # ---------------------------------------------------------------------------
 # Decode: heatmap peaks -> padded box tensors (static shapes, jit-safe)
 # ---------------------------------------------------------------------------
@@ -417,6 +446,50 @@ def _detect_upscaled_jit(cfg: CNNDetectorConfig, params, frames_u8, k,
     return rescale_boxes(boxes, tw / w, th / h), cls, scores, valid
 
 
+def _trunk_params(params) -> dict:
+    return {key: val for key, val in params.items() if key != "Conv_0"}
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def _detect_fused_upscaled_jit(cfg: CNNDetectorConfig, params, frames_u8,
+                               k, thresh, plan):
+    """Upscaled inference with NO upscaled frame: the bilinear upscale,
+    the 8x8 patchify, and the stem matmul evaluated as one folded linear
+    map on native pixels (ops/fused_upscale.py), then the ordinary v3
+    trunk/heads/decode at the upscaled grid with boxes mapped back to
+    native coordinates.  Replaces the materialize-then-forward
+    ``_detect_upscaled_jit`` for fusable rational scales — measured
+    section in PARITY.md round 5."""
+    from ..ops.fused_upscale import fused_upscale_stem
+
+    stem = fused_upscale_stem(
+        frames_u8, params["Conv_0"]["kernel"], params["Conv_0"]["bias"],
+        plan, cfg.compute_dtype())
+    out = V3TrunkHeads(cfg).apply({"params": _trunk_params(params)}, stem)
+    boxes, cls, scores, valid = decode_detections(out, k, thresh, cfg.stride)
+    sx, sy = plan.rescale_factors()
+    return rescale_boxes(boxes, sx, sy), cls, scores, valid
+
+
+@partial(jax.jit, static_argnums=(0, 5, 6, 7))
+def _detect_fused_upscaled_yuv_jit(cfg: CNNDetectorConfig, params, y, cb,
+                                   cr, k, thresh, plan):
+    """Half-bandwidth ingest + folded upscale: raw 4:2:0 planes ->
+    libjpeg-exact BGR (in-graph, ops/yuv.py) -> fused upscale+stem ->
+    trunk -> boxes in native coordinates."""
+    from ..ops.fused_upscale import fused_upscale_stem
+    from ..ops.yuv import yuv420_to_bgr
+
+    frames_u8 = yuv420_to_bgr(y, cb, cr)
+    stem = fused_upscale_stem(
+        frames_u8, params["Conv_0"]["kernel"], params["Conv_0"]["bias"],
+        plan, cfg.compute_dtype())
+    out = V3TrunkHeads(cfg).apply({"params": _trunk_params(params)}, stem)
+    boxes, cls, scores, valid = decode_detections(out, k, thresh, cfg.stride)
+    sx, sy = plan.rescale_factors()
+    return rescale_boxes(boxes, sx, sy), cls, scores, valid
+
+
 @partial(jax.jit, static_argnums=(0, 5, 6))
 def _detect_yuv_jit(cfg: CNNDetectorConfig, params, y, cb, cr, k, thresh):
     """Half-bandwidth ingest: raw JPEG 4:2:0 planes in, detections out.
@@ -465,7 +538,17 @@ class CNNDetector:
         # boxes mapped back to native coordinates — recovers the small-sign
         # quality the s16 grid gives up at native GTSDB resolution
         # (F1 0.81 -> 0.83, AP 0.852 -> 0.904+ measured at 1.412x).
+        # For fusable rational scales on the v3 arch the upscale folds into
+        # the stem (ops/fused_upscale.py) and costs ~no extra bandwidth.
         self.upscale = float(upscale)
+
+    def _fused_plan(self, h: int, w: int):
+        """Fused upscale+stem plan for this operating point, or None."""
+        if self.upscale == 1.0 or self.cfg.arch != "v3":
+            return None
+        from ..ops.fused_upscale import find_plan
+
+        return find_plan(h, w, self.upscale)
 
     @classmethod
     def load(cls, path: str, cfg: CNNDetectorConfig | None = None):
@@ -486,6 +569,11 @@ class CNNDetector:
                     "upscaled inference needs [B,H,W,3] frames; the "
                     "patches8 layout is pre-patchified at native "
                     "resolution (use --input_format bgr or yuv420)")
+            plan = self._fused_plan(frames.shape[1], frames.shape[2])
+            if plan is not None:
+                return _detect_fused_upscaled_jit(
+                    self.cfg, self.params, jnp.asarray(frames),
+                    self.cfg.max_detections, self.cfg.score_threshold, plan)
             th, tw = upscaled_hw(frames.shape[1], frames.shape[2],
                                  self.upscale, self.cfg.stride)
             return _detect_upscaled_jit(
@@ -498,6 +586,12 @@ class CNNDetector:
         """Raw 4:2:0 planes (y [B,H,W], cb/cr [B,H/2,W/2] uint8) — the
         half-bandwidth input path; conversion fuses into the forward jit."""
         if self.upscale != 1.0:
+            plan = self._fused_plan(y.shape[1], y.shape[2])
+            if plan is not None:
+                return _detect_fused_upscaled_yuv_jit(
+                    self.cfg, self.params, jnp.asarray(y), jnp.asarray(cb),
+                    jnp.asarray(cr), self.cfg.max_detections,
+                    self.cfg.score_threshold, plan)
             th, tw = upscaled_hw(y.shape[1], y.shape[2], self.upscale,
                                  self.cfg.stride)
             return _detect_yuv_upscaled_jit(

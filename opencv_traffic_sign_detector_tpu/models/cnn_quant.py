@@ -211,7 +211,13 @@ def v3_int8_forward(q: dict, frames_u8: jax.Array) -> dict:
     y = jnp.maximum(acc.astype(jnp.float32) * q["q0_mult"] + q["q0_bias"],
                     0.0)
     h = jnp.clip(jnp.round(y * q["a0_inv"]), 0, 127).astype(jnp.int8)
+    return v3_int8_trunk_heads(q, h)
 
+
+def v3_int8_trunk_heads(q: dict, h: jax.Array) -> dict:
+    """Conv_1..Conv_6 of the int8 chain from requantized stem activations
+    ``h`` (int8 in [0, 127], scale 1/a0_inv) — shared by the plain forward
+    and the fused-upscale path, which computes the stem itself."""
     for i in _TRUNK:
         k = q[f"q{i}_kernel"]
         dn = lax.conv_dimension_numbers(h.shape, k.shape,
@@ -261,6 +267,54 @@ def _detect_int8_yuv_jit(cfg: CNNDetectorConfig, q, y, cb, cr, k, thresh):
     frames_u8 = yuv420_to_bgr(y, cb, cr)
     out = v3_int8_forward(q, frames_u8)
     return decode_detections(out, k, thresh, cfg.stride)
+
+
+def _stem_float_from_quant(q: dict) -> tuple[jax.Array, jax.Array]:
+    """Reconstruct the float stem (kernel [8, 8, 3, F], bias [F]) from the
+    int8 artifact's own stem tensors.
+
+    ``quantize_v3`` stores q0_kernel = round(k0/sw0), q0_mult = sw0/255 and
+    q0_bias = b0 + (128/255 - 0.5) * colsum(k0); inverting those recovers
+    k0 within the artifact's own stem quantization error.  Used by the
+    fused-upscale path, whose stem input is interpolated (non-integer) —
+    the int8 stem matmul does not apply, but the trunk (where the int8
+    bandwidth win lives) is unchanged.
+    """
+    k0 = q["q0_kernel"].astype(jnp.float32) * (q["q0_mult"] * 255.0)
+    b0 = q["q0_bias"] - np.float32(128.0 / 255.0 - 0.5) * k0.sum(axis=0)
+    f = k0.shape[-1]
+    return k0.reshape(_PATCH, _PATCH, 3, f), b0
+
+
+def _int8_fused_stem_trunk(cfg, q, frames_u8, k, thresh, plan):
+    from ..ops.fused_upscale import fused_upscale_stem
+
+    k0, b0 = _stem_float_from_quant(q)
+    y0 = fused_upscale_stem(frames_u8, k0, b0, plan, jnp.bfloat16)
+    h = jnp.clip(jnp.round(y0.astype(jnp.float32) * q["a0_inv"]),
+                 0, 127).astype(jnp.int8)
+    out = v3_int8_trunk_heads(q, h)
+    boxes, cls, scores, valid = decode_detections(out, k, thresh, cfg.stride)
+    sx, sy = plan.rescale_factors()
+    return rescale_boxes(boxes, sx, sy), cls, scores, valid
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def _detect_int8_fused_upscaled_jit(cfg: CNNDetectorConfig, q, frames_u8,
+                                    k, thresh, plan):
+    """Int8 twin of ``cnn_detector._detect_fused_upscaled_jit``: folded
+    upscale+patchify+stem in bf16 (stem input is interpolated), requantize,
+    int8 trunk/heads, boxes mapped back to native coordinates."""
+    return _int8_fused_stem_trunk(cfg, q, frames_u8, k, thresh, plan)
+
+
+@partial(jax.jit, static_argnums=(0, 5, 6, 7))
+def _detect_int8_fused_upscaled_yuv_jit(cfg: CNNDetectorConfig, q, y, cb,
+                                        cr, k, thresh, plan):
+    from ..ops.yuv import yuv420_to_bgr
+
+    frames_u8 = yuv420_to_bgr(y, cb, cr)
+    return _int8_fused_stem_trunk(cfg, q, frames_u8, k, thresh, plan)
 
 
 @partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
@@ -362,6 +416,11 @@ class QuantCNNDetector(CNNDetector):
                     "upscaled inference needs [B,H,W,3] frames; the "
                     "patches8 layout is pre-patchified at native "
                     "resolution (use --input_format bgr or yuv420)")
+            plan = self._fused_plan(frames.shape[1], frames.shape[2])
+            if plan is not None:
+                return _detect_int8_fused_upscaled_jit(
+                    self.cfg, self.q, jnp.asarray(frames),
+                    self.cfg.max_detections, self.cfg.score_threshold, plan)
             th, tw = upscaled_hw(frames.shape[1], frames.shape[2],
                                  self.upscale, self.cfg.stride)
             return _detect_int8_upscaled_jit(
@@ -373,6 +432,12 @@ class QuantCNNDetector(CNNDetector):
 
     def dispatch_yuv(self, y, cb, cr):
         if self.upscale != 1.0:
+            plan = self._fused_plan(y.shape[1], y.shape[2])
+            if plan is not None:
+                return _detect_int8_fused_upscaled_yuv_jit(
+                    self.cfg, self.q, jnp.asarray(y), jnp.asarray(cb),
+                    jnp.asarray(cr), self.cfg.max_detections,
+                    self.cfg.score_threshold, plan)
             th, tw = upscaled_hw(y.shape[1], y.shape[2], self.upscale,
                                  self.cfg.stride)
             return _detect_int8_yuv_upscaled_jit(

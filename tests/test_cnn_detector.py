@@ -212,10 +212,16 @@ def test_upscaled_hw_rounds_to_stride():
 
 
 @pytest.mark.slow
-def test_upscaled_dispatch_equals_manual_upscale_plus_rescale():
-    """dispatch(upscale=s) must equal: upscale frames on device -> detect ->
-    divide boxes by s — the exact protocol the measured 1080p quality
-    numbers were produced with (scripts/cnn_threshold_sweep.py)."""
+def test_upscaled_dispatch_equals_manual_upscale_plus_rescale(monkeypatch):
+    """dispatch(upscale=s) on the TWO-STAGE path must equal: upscale frames
+    on device -> detect -> divide boxes by s — the exact protocol the
+    measured 1080p quality numbers were produced with
+    (scripts/cnn_threshold_sweep.py).  The plan finder is disabled so the
+    fallback path (non-fusable scales, non-v3 arches) stays contracted;
+    the fused path's agreement is pinned in test_fused_upscale.py."""
+    from opencv_traffic_sign_detector_tpu.ops import fused_upscale as fu
+
+    monkeypatch.setattr(fu, "find_plan", lambda *a, **k: None)
     cfg = cd.CNNDetectorConfig(arch="v3", max_detections=8,
                                score_threshold=0.0)
     params = cd.init_params(cfg, 3, (64, 64))
@@ -223,6 +229,7 @@ def test_upscaled_dispatch_equals_manual_upscale_plus_rescale():
     frames = rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)
 
     det = cd.CNNDetector(params, cfg, upscale=2.0)
+    assert det._fused_plan(64, 64) is None
     b_up, c_up, s_up, v_up = [np.asarray(o) for o in det.dispatch(frames)]
 
     big = cd.upscale_frames(jnp.asarray(frames), 128, 128)

@@ -209,9 +209,14 @@ def test_stem_affine_fold_is_exact():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
-def test_int8_upscaled_dispatch_equals_manual(v3_setup):
-    """QuantCNNDetector(upscale=s) == upscale on device -> int8 detect ->
-    boxes / s (same contract as the float detector's --upscale)."""
+def test_int8_upscaled_dispatch_equals_manual(v3_setup, monkeypatch):
+    """QuantCNNDetector(upscale=s) on the TWO-STAGE path == upscale on
+    device -> int8 detect -> boxes / s (same contract as the float
+    detector's --upscale).  Plan finder disabled so the fallback path
+    stays contracted; fused-path agreement is in test_fused_upscale.py."""
+    from opencv_traffic_sign_detector_tpu.ops import fused_upscale as fu
+
+    monkeypatch.setattr(fu, "find_plan", lambda *a, **k: None)
     cfg, params, frames = v3_setup
     q = {k: jnp.asarray(v) for k, v in cq.quantize_v3(
         params, frames).items()}
