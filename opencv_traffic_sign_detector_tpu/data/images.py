@@ -120,6 +120,31 @@ def load_frames_yuv420_batch(
     return native.decode_jpeg_yuv420_batch(paths)
 
 
+def load_frames_yuv420_patches_batch(
+    directory: str, files: list[str]
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Raw 4:2:0 planes in the PATCHIFIED layouts (y [B,H/8,W/8,64],
+    cb/cr [B,H/8,W/8,16]) — same 1.5 bytes/px as the tight planes, zero
+    on-device relayout (ops/yuv.py: yuv420_patches_to_bgr_patches8).
+    Prefers the native loader's direct decode; falls back to tight planes
+    + host repack; None when neither is available."""
+    paths = [os.path.join(directory, f) for f in files]
+    native = _native_loader()
+    if native is None or not all(
+        p.lower().endswith((".jpg", ".jpeg")) for p in paths
+    ):
+        return None
+    planes = native.decode_jpeg_yuv420_patches_batch(paths)
+    if planes is not None:
+        return planes
+    tight = native.decode_jpeg_yuv420_batch(paths)
+    if tight is None or tight[0].shape[1] % 8 or tight[0].shape[2] % 8:
+        return None
+    from ..ops.yuv import patchify_yuv_planes
+
+    return patchify_yuv_planes(*tight)
+
+
 def stack_frames(
     images: dict[str, np.ndarray] | list[np.ndarray],
 ) -> tuple[list[str], np.ndarray]:

@@ -39,6 +39,11 @@ def batched_frames(
     * ``"yuv420"``   — items are ((y, cb, cr), names): raw JPEG 4:2:0
       planes at 1.5 bytes/px, halving the upload on the link that bounds
       e2e; consume with ``CNNDetector.dispatch_yuv``.
+    * ``"yuv420p"``  — same planes PATCHIFIED at decode time
+      (y [B,H/8,W/8,64], cb/cr [B,H/8,W/8,16]): same bytes, and the v3
+      stem consumes the converted result with zero on-device relayout
+      (ops/yuv.py: yuv420_patches_to_bgr_patches8).  Falls back to tight
+      planes, then to BGR.
     * ``"patches8"`` — [B, H/8, W/8, 192] uint8: same bytes as BGR,
       repacked at decode time into the stem's matmul layout (zero
       on-device relayout; 1080p stem measured 3.5x faster).
@@ -51,10 +56,20 @@ def batched_frames(
     def assemble(chunk: list[str]):
         names = list(chunk)
         pad = batch_size - len(chunk)
-        if input_format == "yuv420":
-            from .images import load_frames_yuv420_batch
+        if input_format in ("yuv420", "yuv420p"):
+            from .images import (
+                load_frames_yuv420_batch,
+                load_frames_yuv420_patches_batch,
+            )
 
-            planes = load_frames_yuv420_batch(directory, chunk)
+            if input_format == "yuv420p":
+                # patchified planes (zero on-device relayout); falls back
+                # to tight planes, then to BGR frames
+                planes = load_frames_yuv420_patches_batch(directory, chunk)
+                if planes is None:
+                    planes = load_frames_yuv420_batch(directory, chunk)
+            else:
+                planes = load_frames_yuv420_batch(directory, chunk)
             if planes is not None:
                 if pad:
                     planes = tuple(

@@ -491,6 +491,23 @@ def _detect_fused_upscaled_yuv_jit(cfg: CNNDetectorConfig, params, y, cb,
 
 
 @partial(jax.jit, static_argnums=(0, 5, 6))
+def _detect_yuv_patches_jit(cfg: CNNDetectorConfig, params, y_p, cb_p, cr_p,
+                            k, thresh):
+    """Half-bandwidth ingest with ZERO on-device relayout: patchified raw
+    4:2:0 planes in (the layout the native loader emits at decode time),
+    converted to BGR patches8 entirely in patch space (ops/yuv.py:
+    yuv420_patches_to_bgr_patches8, bit-exact libjpeg math) and consumed
+    by the stem as one K=192 matmul — the yuv420 path no longer pays the
+    in-graph patchify that made it 13.5 ms vs patches8's 5.0 ms per 128
+    1080p frames (VERDICT r4 next-step #2)."""
+    from ..ops.yuv import yuv420_patches_to_bgr_patches8
+
+    patches = yuv420_patches_to_bgr_patches8(y_p, cb_p, cr_p)
+    out = SignCenterNet(cfg).apply({"params": params}, patches)
+    return decode_detections(out, k, thresh, cfg.stride)
+
+
+@partial(jax.jit, static_argnums=(0, 5, 6))
 def _detect_yuv_jit(cfg: CNNDetectorConfig, params, y, cb, cr, k, thresh):
     """Half-bandwidth ingest: raw JPEG 4:2:0 planes in, detections out.
 
@@ -583,8 +600,23 @@ class CNNDetector:
                            self.cfg.max_detections, self.cfg.score_threshold)
 
     def dispatch_yuv(self, y, cb, cr):
-        """Raw 4:2:0 planes (y [B,H,W], cb/cr [B,H/2,W/2] uint8) — the
-        half-bandwidth input path; conversion fuses into the forward jit."""
+        """Raw 4:2:0 planes — the half-bandwidth input path; conversion
+        fuses into the forward jit.  Two layouts, keyed on ndim:
+
+        * tight planes: y [B,H,W], cb/cr [B,H/2,W/2] uint8;
+        * patchified planes (v3, native-resolution): y [B,H/8,W/8,64],
+          cb/cr [B,H/8,W/8,16] — zero on-device relayout (the conversion
+          runs in patch space; ops/yuv.py)."""
+        if y.ndim == 4 and self.upscale == 1.0 and self.cfg.arch == "v3":
+            return _detect_yuv_patches_jit(
+                self.cfg, self.params, jnp.asarray(y), jnp.asarray(cb),
+                jnp.asarray(cr), self.cfg.max_detections,
+                self.cfg.score_threshold)
+        if y.ndim == 4:
+            raise ValueError(
+                "patchified yuv planes need the v3 arch at native "
+                "resolution (use tight planes for --upscale or other "
+                "arches)")
         if self.upscale != 1.0:
             plan = self._fused_plan(y.shape[1], y.shape[2])
             if plan is not None:
@@ -649,6 +681,11 @@ class CNNDetector:
         from ..data.images import list_frame_files
         from ..data.prefetch import batched_frames
 
+        if (input_format == "yuv420" and self.cfg.arch == "v3"
+                and self.upscale == 1.0):
+            # same bytes, same bit-exact result, zero on-device relayout:
+            # prefer the patchified plane layout (falls back transparently)
+            input_format = "yuv420p"
         files = list_frame_files(directory)
         dets: list[GroundTruthBox] = []
         pending = None
@@ -659,8 +696,9 @@ class CNNDetector:
                                             input_format=input_format):
             if isinstance(frames, tuple):
                 if orig_hw is None:
-                    orig_hw = (int(frames[0].shape[1]),
-                               int(frames[0].shape[2]))
+                    scale = 8 if frames[0].ndim == 4 else 1
+                    orig_hw = (int(frames[0].shape[1]) * scale,
+                               int(frames[0].shape[2]) * scale)
                 out = self.dispatch_yuv(*frames)
             else:
                 if orig_hw is None:

@@ -261,6 +261,18 @@ def _detect_int8_jit(cfg: CNNDetectorConfig, q, frames_u8, k, thresh):
 
 
 @partial(jax.jit, static_argnums=(0, 5, 6))
+def _detect_int8_yuv_patches_jit(cfg: CNNDetectorConfig, q, y_p, cb_p, cr_p,
+                                 k, thresh):
+    """Int8 twin of ``cnn_detector._detect_yuv_patches_jit``: patchified
+    raw 4:2:0 planes -> patch-space conversion -> int8 stem matmul."""
+    from ..ops.yuv import yuv420_patches_to_bgr_patches8
+
+    patches = yuv420_patches_to_bgr_patches8(y_p, cb_p, cr_p)
+    out = v3_int8_forward(q, patches)
+    return decode_detections(out, k, thresh, cfg.stride)
+
+
+@partial(jax.jit, static_argnums=(0, 5, 6))
 def _detect_int8_yuv_jit(cfg: CNNDetectorConfig, q, y, cb, cr, k, thresh):
     from ..ops.yuv import yuv420_to_bgr
 
@@ -431,6 +443,15 @@ class QuantCNNDetector(CNNDetector):
                                 self.cfg.score_threshold)
 
     def dispatch_yuv(self, y, cb, cr):
+        if y.ndim == 4 and self.upscale == 1.0:
+            return _detect_int8_yuv_patches_jit(
+                self.cfg, self.q, jnp.asarray(y), jnp.asarray(cb),
+                jnp.asarray(cr), self.cfg.max_detections,
+                self.cfg.score_threshold)
+        if y.ndim == 4:
+            raise ValueError(
+                "patchified yuv planes need native resolution (use tight "
+                "planes for --upscale)")
         if self.upscale != 1.0:
             plan = self._fused_plan(y.shape[1], y.shape[2])
             if plan is not None:

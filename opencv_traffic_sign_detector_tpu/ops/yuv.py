@@ -57,6 +57,83 @@ def _fancy_upsample_plane(c: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(*out.shape[:-3], out.shape[-3], -1)
 
 
+def _fancy_upsample_patches(c_p: jnp.ndarray) -> jnp.ndarray:
+    """Patchified chroma [B, P, Q, 16] (k = cy*4 + cx) -> upsampled luma-grid
+    patches [B, P, Q, 64] (k = ky*8 + kx), int32 in 0..255.
+
+    Same h2v2 fancy-upsample integer math as ``_fancy_upsample_plane`` but
+    evaluated entirely in patch space: the cross-patch taps (row -1 is the
+    previous patch's row 3, etc.) come from patch-grid shifted views, so no
+    full-resolution chroma plane is ever materialized — the whole 4:2:0 ->
+    patches8 conversion keeps the loader's zero-relayout property."""
+    c = c_p.astype(jnp.int32).reshape(*c_p.shape[:-1], 4, 4)
+    # vertical neighbors: cross patch rows, frame edges replicate (libjpeg
+    # clamps row -1 to row 0 and row H-1+1 to row H-1)
+    prev3 = jnp.concatenate([c[:, :1, :, 0:1], c[:, :-1, :, 3:4]], axis=1)
+    next0 = jnp.concatenate([c[:, 1:, :, 0:1], c[:, -1:, :, 3:4]], axis=1)
+    up = jnp.concatenate([prev3, c[..., :3, :]], axis=-2)
+    down = jnp.concatenate([c[..., 1:, :], next0], axis=-2)
+    v = jnp.stack([3 * c + up, 3 * c + down], axis=-2)  # [.., 4, 2, 4]
+    v = v.reshape(*v.shape[:-3], 8, 4)
+    # horizontal neighbors: cross patch cols
+    prevc = jnp.concatenate([v[:, :, :1, :, 0:1], v[:, :, :-1, :, 3:4]],
+                            axis=2)
+    nextc = jnp.concatenate([v[:, :, 1:, :, 0:1], v[:, :, -1:, :, 3:4]],
+                            axis=2)
+    left = jnp.concatenate([prevc, v[..., :3]], axis=-1)
+    right = jnp.concatenate([v[..., 1:], nextc], axis=-1)
+    out = jnp.stack([(3 * v + left + 8) >> 4, (3 * v + right + 7) >> 4],
+                    axis=-1)                            # [.., 8, 4, 2]
+    return out.reshape(*c_p.shape[:-1], 64)
+
+
+def yuv420_patches_to_bgr_patches8(
+    y_p: jnp.ndarray, cb_p: jnp.ndarray, cr_p: jnp.ndarray
+) -> jnp.ndarray:
+    """Patchified raw 4:2:0 planes -> BGR in the ``patches8`` stem layout.
+
+    ``y_p`` [B, H/8, W/8, 64] (k = ky*8 + kx), ``cb_p``/``cr_p``
+    [B, H/8, W/8, 16] (k = cy*4 + cx) — the layouts the native loader
+    emits for free at decode time (runtime/loader.cpp:
+    tsd_decode_jpeg_yuv420_patches_batch; host repack fallback
+    ``patchify_yuv_planes``).  Output [B, H/8, W/8, 192] uint8 with
+    k = ky*24 + kx*3 + c, bit-identical to
+    ``yuv420_to_bgr`` followed by an 8x8 patchify
+    (tests/test_runtime_loader.py) — but with zero on-device relayout:
+    the channel interleave at the end is a free minor-dim reshape, so the
+    half-bandwidth ingest gets the same 5 ms stem as patches8 instead of
+    paying the 13.5 ms in-graph patchify (VERDICT r4 next-step #2)."""
+    cb_full = _fancy_upsample_patches(cb_p)
+    cr_full = _fancy_upsample_patches(cr_p)
+    yi = y_p.astype(jnp.int32)
+    cbd = cb_full - 128
+    crd = cr_full - 128
+    r = yi + ((_FIX_1_40200 * crd + _ONE_HALF) >> 16)
+    g = yi + ((-_FIX_0_34414 * cbd + _ONE_HALF - _FIX_0_71414 * crd) >> 16)
+    b = yi + ((_FIX_1_77200 * cbd + _ONE_HALF) >> 16)
+    bgr = jnp.clip(jnp.stack([b, g, r], axis=-1), 0, 255)  # [.., 64, 3]
+    return bgr.astype(jnp.uint8).reshape(*y_p.shape[:-1], 192)
+
+
+def patchify_yuv_planes(y, cb, cr):
+    """Host-side (numpy) repack of tight 4:2:0 planes into the patchified
+    layouts ``yuv420_patches_to_bgr_patches8`` consumes — the fallback for
+    JPEG batches the native loader cannot decode directly, and the oracle
+    for its C++ repack.  Requires h, w multiples of 8."""
+    import numpy as np
+
+    b, h, w = y.shape
+    yp = (y.reshape(b, h // 8, 8, w // 8, 8)
+          .transpose(0, 1, 3, 2, 4).reshape(b, h // 8, w // 8, 64))
+    ch, cw = cb.shape[1:]
+    cbp = (cb.reshape(b, ch // 4, 4, cw // 4, 4)
+           .transpose(0, 1, 3, 2, 4).reshape(b, ch // 4, cw // 4, 16))
+    crp = (cr.reshape(b, ch // 4, 4, cw // 4, 4)
+           .transpose(0, 1, 3, 2, 4).reshape(b, ch // 4, cw // 4, 16))
+    return (np.ascontiguousarray(yp), np.ascontiguousarray(cbp),
+            np.ascontiguousarray(crp))
+
+
 def yuv420_to_bgr(
     y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray
 ) -> jnp.ndarray:

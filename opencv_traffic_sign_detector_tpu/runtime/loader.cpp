@@ -275,6 +275,35 @@ int decode_one_yuv420(const char* path, uint8_t* ybuf, uint8_t* cbbuf,
   return 0;
 }
 
+// Repack tight 4:2:0 planes into the patchified layouts the TPU consumes
+// with zero on-device relayout (ops/yuv.py: yuv420_patches_to_bgr_patches8):
+// y -> [h/8, w/8, 64] (k = ky*8 + kx), cb/cr -> [h/8, w/8, 16]
+// (k = cy*4 + cx).  Same bytes as the tight planes, 8- and 4-byte memcpys.
+void repack_yuv420_patches(const uint8_t* y, const uint8_t* cb,
+                           const uint8_t* cr, uint8_t* yp, uint8_t* cbp,
+                           uint8_t* crp, int32_t h, int32_t w) {
+  const int wp = w / 8;
+  for (int r = 0; r < h; ++r) {
+    const uint8_t* src = y + static_cast<int64_t>(r) * w;
+    uint8_t* base =
+        yp + (static_cast<int64_t>(r / 8) * wp) * 64 + (r % 8) * 8;
+    for (int p = 0; p < wp; ++p)
+      std::memcpy(base + static_cast<int64_t>(p) * 64, src + p * 8, 8);
+  }
+  const int ch = h / 2, cw = w / 2;
+  const uint8_t* srcs[2] = {cb, cr};
+  uint8_t* dsts[2] = {cbp, crp};
+  for (int c = 0; c < 2; ++c) {
+    for (int r = 0; r < ch; ++r) {
+      const uint8_t* src = srcs[c] + static_cast<int64_t>(r) * cw;
+      uint8_t* base =
+          dsts[c] + (static_cast<int64_t>(r / 4) * wp) * 16 + (r % 4) * 4;
+      for (int p = 0; p < wp; ++p)
+        std::memcpy(base + static_cast<int64_t>(p) * 16, src + p * 4, 4);
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -344,6 +373,43 @@ int tsd_decode_jpeg_bgr_patches8_batch(const char** paths, int32_t n,
 int tsd_decode_jpeg_yuv420(const char* path, uint8_t* ybuf, uint8_t* cbbuf,
                            uint8_t* crbuf, int32_t h, int32_t w) {
   return decode_one_yuv420(path, ybuf, cbbuf, crbuf, h, w);
+}
+
+// Batched raw-plane decode straight into the PATCHIFIED layouts
+// (y: n*(h/8)*(w/8)*64, cb/cr: n*(h/8)*(w/8)*16) — the zero-relayout
+// input for ops/yuv.py: yuv420_patches_to_bgr_patches8.  Same bytes as
+// the tight planes; the repack rides the decode worker where it is free.
+// Requires h, w multiples of 8; returns #failures.
+int tsd_decode_jpeg_yuv420_patches_batch(const char** paths, int32_t n,
+                                         uint8_t* ybuf, uint8_t* cbbuf,
+                                         uint8_t* crbuf, int32_t h, int32_t w,
+                                         int32_t n_threads, int32_t* status) {
+  if (n_threads < 1) n_threads = 1;
+  if ((h % 8) || (w % 8)) return n;  // caller falls back
+  std::atomic<int32_t> next(0);
+  const int64_t y_bytes = static_cast<int64_t>(h) * w;
+  const int64_t c_bytes = static_cast<int64_t>(h / 2) * (w / 2);
+  auto worker = [&]() {
+    std::vector<uint8_t> ys(y_bytes), cbs(c_bytes), crs(c_bytes);
+    for (;;) {
+      const int32_t i = next.fetch_add(1);
+      if (i >= n) break;
+      const int rc =
+          decode_one_yuv420(paths[i], ys.data(), cbs.data(), crs.data(), h, w);
+      status[i] = rc;
+      if (rc == 0)
+        repack_yuv420_patches(ys.data(), cbs.data(), crs.data(),
+                              ybuf + y_bytes * i, cbbuf + c_bytes * i,
+                              crbuf + c_bytes * i, h, w);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  int bad = 0;
+  for (int i = 0; i < n; ++i)
+    if (status[i] != 0) ++bad;
+  return bad;
 }
 
 // Batched raw-plane decode with a worker pool; same contract as the BGR

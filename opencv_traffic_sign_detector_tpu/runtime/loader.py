@@ -80,6 +80,19 @@ def _load():
             ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32),
         ]
+    if hasattr(lib, "tsd_decode_jpeg_yuv420_patches_batch"):
+        lib.tsd_decode_jpeg_yuv420_patches_batch.restype = ctypes.c_int
+        lib.tsd_decode_jpeg_yuv420_patches_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
     _lib = lib
     return _lib
 
@@ -216,6 +229,48 @@ def decode_jpeg_yuv420(
         w,
     )
     return (y, cb, cr) if rc == 0 else None
+
+
+def decode_jpeg_yuv420_patches_batch(
+    paths: list[str], n_threads: int | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Threaded raw-plane decode straight into the patchified layouts
+    (y [n, h/8, w/8, 64], cb/cr [n, h/8, w/8, 16]) — same 1.5 bytes/px as
+    the tight planes, zero on-device relayout (consumed by
+    ops/yuv.py: yuv420_patches_to_bgr_patches8).  None on any failure
+    (caller falls back to tight planes + host repack, then to BGR)."""
+    lib = _load()
+    if (lib is None or not paths
+            or not hasattr(lib, "tsd_decode_jpeg_yuv420_patches_batch")):
+        return None
+    size = probe_size(paths[0])
+    if size is None:
+        return None
+    h, w = size
+    if h % 8 or w % 8:
+        return None
+    n = len(paths)
+    y = np.empty((n, h // 8, w // 8, 64), np.uint8)
+    cb = np.empty((n, h // 8, w // 8, 16), np.uint8)
+    cr = np.empty_like(cb)
+    status = np.zeros(n, np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    if n_threads is None:
+        n_threads = min(8, os.cpu_count() or 1)
+    bad = lib.tsd_decode_jpeg_yuv420_patches_batch(
+        arr,
+        n,
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h,
+        w,
+        n_threads,
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if bad:
+        return None
+    return y, cb, cr
 
 
 def decode_jpeg_yuv420_batch(

@@ -210,3 +210,113 @@ def test_prefetch_patches8_lane(built, test_frames_dir):
     assert len(items) == 1
     frames, names = items[0]
     assert frames.shape == (3, 100, 170, 192)
+
+
+def test_yuv420_patches_matches_host_repack(built, test_frames_dir):
+    """Native patchified-plane decode == tight planes + numpy repack
+    (ops/yuv.py: patchify_yuv_planes), byte for byte."""
+    import os
+
+    from opencv_traffic_sign_detector_tpu.ops.yuv import patchify_yuv_planes
+
+    files = [
+        str(test_frames_dir / f)
+        for f in sorted(os.listdir(test_frames_dir))
+        if f.endswith(".jpg")
+    ][:3]
+    got = loader.decode_jpeg_yuv420_patches_batch(files)
+    assert got is not None
+    tight = loader.decode_jpeg_yuv420_batch(files)
+    want = patchify_yuv_planes(*tight)
+    assert got[0].shape == (3, 100, 170, 64)
+    assert got[1].shape == got[2].shape == (3, 100, 170, 16)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+
+def test_yuv420_patches_conversion_bit_exact(built, test_frames_dir):
+    """Patch-space conversion on real loader output == full-plane
+    yuv420_to_bgr + 8x8 patchify, bit for bit (the libjpeg integer math
+    survives the patch-space reformulation)."""
+    import jax.numpy as jnp
+
+    from opencv_traffic_sign_detector_tpu.ops.yuv import (
+        patchify_yuv_planes,
+        yuv420_patches_to_bgr_patches8,
+        yuv420_to_bgr,
+    )
+
+    p = str(test_frames_dir / "00600.jpg")
+    y, cb, cr = loader.decode_jpeg_yuv420(p)
+    y, cb, cr = y[None], cb[None], cr[None]
+    bgr = np.asarray(yuv420_to_bgr(jnp.asarray(y), jnp.asarray(cb),
+                                   jnp.asarray(cr)))
+    b, h, w, _ = bgr.shape
+    want = (bgr.reshape(b, h // 8, 8, w // 8, 8, 3)
+            .transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 8, w // 8, 192))
+    yp, cbp, crp = patchify_yuv_planes(y, cb, cr)
+    got = np.asarray(yuv420_patches_to_bgr_patches8(
+        jnp.asarray(yp), jnp.asarray(cbp), jnp.asarray(crp)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_prefetch_yuv420p_lane(built, test_frames_dir):
+    """batched_frames(input_format="yuv420p") yields patchified plane
+    tuples; CNNDetector.dispatch_yuv keys on their ndim."""
+    from opencv_traffic_sign_detector_tpu.data.prefetch import batched_frames
+
+    import os
+
+    files = sorted(f for f in os.listdir(test_frames_dir)
+                   if f.endswith(".jpg"))[:3]
+    items = list(batched_frames(str(test_frames_dir), files, 2,
+                                input_format="yuv420p"))
+    assert len(items) == 2
+    (planes, names) = items[0]
+    assert isinstance(planes, tuple) and len(planes) == 3
+    assert planes[0].ndim == 4 and planes[0].shape[-1] == 64
+    assert planes[1].shape[-1] == 16
+    (planes2, names2) = items[1]
+    assert names2[-1] == "__pad__"
+
+
+def test_dispatch_yuv_patches_agrees_with_tight_planes(built,
+                                                       test_frames_dir):
+    """CNNDetector.dispatch_yuv on patchified planes must produce the same
+    detections as on tight planes: the conversion is bit-exact, so only
+    jit-boundary float reassociation can differ — scores must match."""
+    import os
+
+    import jax.numpy as jnp
+
+    from opencv_traffic_sign_detector_tpu.models import cnn_detector as cd
+
+    ckpt = "artifacts/cnn_detector/params.npz"
+    if not os.path.exists(ckpt):
+        pytest.skip("shipped checkpoint not present")
+    det = cd.CNNDetector.load(ckpt)
+    from opencv_traffic_sign_detector_tpu.ops.yuv import patchify_yuv_planes
+
+    files = [
+        str(test_frames_dir / f)
+        for f in sorted(os.listdir(test_frames_dir))
+        if f.endswith(".jpg")
+    ][:2]
+    y, cb, cr = loader.decode_jpeg_yuv420_batch(files)
+    tight = [np.asarray(o) for o in det.dispatch_yuv(
+        jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr))]
+    yp, cbp, crp = patchify_yuv_planes(y, cb, cr)
+    patched = [np.asarray(o) for o in det.dispatch_yuv(
+        jnp.asarray(yp), jnp.asarray(cbp), jnp.asarray(crp))]
+    np.testing.assert_allclose(np.sort(patched[2], -1),
+                               np.sort(tight[2], -1), atol=2e-3)
+    # the top real detections (score > 0.5) must be the same boxes
+    for b in range(tight[0].shape[0]):
+        mask = tight[2][b] > 0.5
+        if not mask.any():
+            continue
+        tb = np.sort(tight[0][b][mask], axis=0)
+        pm = patched[2][b] > 0.5
+        pb = np.sort(patched[0][b][pm], axis=0)
+        assert tb.shape == pb.shape
+        np.testing.assert_allclose(tb, pb, atol=1.0)
