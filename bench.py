@@ -169,20 +169,47 @@ def _bench_cnn(args, result: dict) -> None:
                 frames.reshape(b, h // 8, 8, w // 8, 24)
                 .transpose(0, 1, 3, 2, 4)
                 .reshape(b, h // 8, w // 8, 192))
-        dev = jnp.asarray(frames)
-        out = d.dispatch(dev)  # compile + warm
+        if layout == "yuv420p":
+            # patchified raw 4:2:0 planes (1.5 bytes/px, zero on-device
+            # relayout — ops/yuv.py): host repack mirrors what the native
+            # loader emits at decode time
+            from opencv_traffic_sign_detector_tpu.ops.yuv import (
+                patchify_yuv_planes,
+            )
+
+            f = frames.astype(np.float32)
+            b_, g_, r_ = f[..., 0], f[..., 1], f[..., 2]
+            y_ = np.clip(np.round(0.299 * r_ + 0.587 * g_ + 0.114 * b_),
+                         0, 255).astype(np.uint8)
+            cb_ = np.clip(np.round(128 - 0.168735892 * r_
+                                   - 0.331264108 * g_ + 0.5 * b_), 0, 255)
+            cr_ = np.clip(np.round(128 + 0.5 * r_ - 0.418687589 * g_
+                                   - 0.081312411 * b_), 0, 255)
+            pool = lambda p: ((p[:, 0::2, 0::2] + p[:, 0::2, 1::2]
+                               + p[:, 1::2, 0::2] + p[:, 1::2, 1::2] + 2)
+                              / 4).astype(np.uint8)
+            planes = patchify_yuv_planes(y_, pool(cb_), pool(cr_))
+            dev = tuple(jnp.asarray(p) for p in planes)
+            dispatch = lambda: d.dispatch_yuv(*dev)
+        else:
+            dev_arr = jnp.asarray(frames)
+            dispatch = lambda: d.dispatch(dev_arr)
+        out = dispatch()  # compile + warm
         np.asarray(out[2][0, 0])
-        # best of 3 timed windows: the container relay's per-message
-        # enqueue stalls are bursty (measured 5-17% spread between full
-        # runs of identical code); the max window is the chip capability
-        best = 0.0
+        # median of 3 timed windows (VERDICT r4 weak #8: the container
+        # relay's enqueue stalls are bursty with 5-17% spread; the median
+        # is the honest headline, and the spread rides in the JSON)
+        windows = []
         for _ in range(3):
             t0 = time.time()
-            outs = [d.dispatch(dev) for _ in range(args.cnn_iters)]
+            outs = [dispatch() for _ in range(args.cnn_iters)]
             np.asarray(outs[-1][2][0, 0])
-            best = max(best,
-                       args.cnn_iters * args.cnn_batch / (time.time() - t0))
-        return best
+            windows.append(
+                args.cnn_iters * args.cnn_batch / (time.time() - t0))
+        windows.sort()
+        run.last_spread_pct = round(
+            100.0 * (windows[-1] - windows[0]) / windows[-1], 1)
+        return windows[1]
 
     def run_fed(size: str, n_batches: int) -> float:
         """Fed-throughput scope: every timed batch is a DISTINCT host
@@ -253,29 +280,45 @@ def _bench_cnn(args, result: dict) -> None:
         "model": "cnn_centernet",
         "value": round(fps, 3),
         "unit": "frames/s",
+        # median of 3 timed windows + min-max spread (VERDICT r4 weak #8)
+        "n_windows": 3,
+        "spread_pct": run.last_spread_pct,
         "vs_baseline": round(fps / REFERENCE_FPS, 2),
         "vs_reference_detect_only": round(fps / REFERENCE_DETECT_FPS, 2),
     })
     result["gtsdb_fps_bgr_layout"] = round(run("gtsdb", "bgr"), 3)
+    # half-bandwidth ingest at the device-queue scope: patchified raw
+    # 4:2:0 planes, conversion in patch space (zero on-device relayout —
+    # VERDICT r4 next-step #2's done-criterion is parity with patches8)
+    result["gtsdb_fps_yuv"] = round(run("gtsdb", "yuv420p"), 3)
     if not args.skip_1080p:
         result["fps_1080p"] = round(run("1080p"), 3)
         result["fps_1080p_bgr_layout"] = round(run("1080p", "bgr"), 3)
+        result["fps_1080p_yuv"] = round(run("1080p", "yuv420p"), 3)
     if qdet is not None:
         result["gtsdb_fps_int8"] = round(run("gtsdb", d=qdet), 3)
         if not args.skip_1080p:
             result["fps_1080p_int8"] = round(run("1080p", d=qdet), 3)
 
-    # Upscaled-inference operating point (--upscale 1.412, aspect-preserving
-    # on-device bilinear fused into the detect jit): recovers the small-sign
-    # quality the s16 grid gives up at native GTSDB resolution — measured
-    # F1 0.84 / AP 0.942 at thr 0.35 (AP 0.948 at 0.2) vs 0.81 / 0.852
-    # native, boxes scored in native coordinates.  BGR ingest (patches8 is
-    # pre-patchified at native res).
+    # Upscaled-inference operating point (--upscale 1.412 -> the fused
+    # 24/17 plan: upscale+patchify+stem folded into banded matmuls on
+    # native pixels, ops/fused_upscale.py): recovers the small-sign
+    # quality the s16 grid gives up at native GTSDB resolution — the
+    # quality flagship, now at north-star-compliant throughput.  BGR
+    # ingest (the fused stem consumes native frames directly).
     import copy as _copy
 
     up_det = _copy.copy(qdet if qdet is not None else det)
     up_det.upscale = args.upscale
     result["gtsdb_fps_upscaled"] = round(run("gtsdb", "bgr", d=up_det), 3)
+    if not args.skip_1080p:
+        # the quality mode ON 1080p streams (VERDICT r4 next-step #10)
+        result["fps_1080p_upscaled"] = round(
+            run("1080p", "bgr", d=up_det), 3)
+    up_float = _copy.copy(det)
+    up_float.upscale = args.upscale
+    result["gtsdb_fps_upscaled_float"] = round(
+        run("gtsdb", "bgr", d=up_float), 3)
     if args.fed_batches > 0:
         result["fed_fps"] = round(run_fed("gtsdb", args.fed_batches), 3)
         result["fed_yuv_fps"] = round(

@@ -153,19 +153,24 @@ def main(argv=None) -> int:
     parser.add_argument("--test_path", default="test_alumnos_jpg")
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--input_format", default="bgr",
-                        choices=["bgr", "yuv420", "patches8"],
+                        choices=["bgr", "yuv420", "yuv420p", "patches8"],
                         help="CNN-detector decode layout: yuv420 ships raw "
                         "JPEG 4:2:0 planes (half the host->device bytes, "
-                        "libjpeg-exact device conversion); patches8 decodes "
-                        "into the stem's matmul layout (fastest device "
+                        "libjpeg-exact device conversion; auto-upgraded to "
+                        "the patchified yuv420p layout on the v3 arch — "
+                        "zero on-device relayout); patches8 decodes into "
+                        "the stem's matmul layout (fastest full-bandwidth "
                         "path).  Ignored by the MSER pipeline (bgr only)")
     parser.add_argument("--upscale", type=float, default=1.0,
                         help="CNN-detector upscaled-inference factor: frames "
-                        "are bilinearly scaled on device before the forward "
-                        "and boxes mapped back to native coordinates.  1.412 "
-                        "runs native GTSDB frames at the 1080p operating "
-                        "point (measured F1 0.81 -> 0.84, AP 0.853 -> 0.942 "
-                        "— PARITY.md round 4).  bgr/yuv420 ingest only")
+                        "are virtually upscaled before the forward and "
+                        "boxes mapped back to native coordinates; for "
+                        "fusable ratios the resize folds into the stem "
+                        "(ops/fused_upscale.py) and costs almost nothing. "
+                        "1.412 runs native GTSDB frames at the 1080p "
+                        "operating point (measured F1 0.81 -> 0.84, "
+                        "AP 0.853 -> 0.942 — PARITY.md).  bgr/yuv420 "
+                        "ingest only")
     parser.add_argument("--out", default="resultado.txt")
     parser.add_argument("--out_imgs", default="resultado_imgs")
     parser.add_argument("--no-images", action="store_true",
@@ -201,9 +206,10 @@ def main(argv=None) -> int:
     if args.upscale <= 0:
         print(f"Invalid --upscale {args.upscale!r}: must be > 0")
         return 2
-    if args.upscale != 1.0 and args.input_format == "patches8":
-        print("--upscale needs full frames; patches8 is pre-patchified at "
-              "native resolution (use --input_format bgr or yuv420)")
+    if args.upscale != 1.0 and args.input_format in ("patches8", "yuv420p"):
+        print("--upscale needs full frames; patches8/yuv420p are "
+              "pre-patchified at native resolution (use --input_format "
+              "bgr or yuv420)")
         return 2
 
     if args.detector.upper().startswith("CNN"):

@@ -55,19 +55,25 @@ def main(argv=None) -> int:
     parser.add_argument("--train_path", default=None)
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--input_format", default="bgr",
-                        choices=["bgr", "yuv420", "patches8"],
+                        choices=["bgr", "yuv420", "yuv420p", "patches8"],
                         help="decode layout for the CNN detector: yuv420 "
                         "halves the host->device feed bytes (device-side "
-                        "libjpeg-exact conversion), patches8 decodes into "
-                        "the stem's matmul layout (fastest device path); "
+                        "libjpeg-exact conversion; yuv420p = same bytes "
+                        "patchified at decode time, zero on-device "
+                        "relayout), patches8 decodes into the stem's "
+                        "matmul layout (fastest full-bandwidth path); "
                         "MSER requires bgr")
     parser.add_argument("--max_wait_ms", type=float, default=200.0,
                         help="max linger before flushing a partial batch")
     parser.add_argument("--poll_ms", type=float, default=50.0)
     parser.add_argument("--upscale", type=float, default=1.0,
-                        help="CNN upscaled-inference factor (on-device "
-                        "bilinear, boxes in native coordinates; bgr/yuv420 "
-                        "ingest only — see main_detection.py --upscale)")
+                        help="CNN upscaled-inference QUALITY mode: frames "
+                        "are virtually upscaled by this factor (1.412 is "
+                        "the measured sweet spot) with the resize folded "
+                        "into the stem for fusable ratios "
+                        "(ops/fused_upscale.py — no materialized upscaled "
+                        "frame), boxes emitted in native coordinates; "
+                        "bgr/yuv420 ingest only")
     parser.add_argument("--downscale", type=int, default=2)
     parser.add_argument("--max_regions", type=int, default=128)
     parser.add_argument("--once", action="store_true",
@@ -102,9 +108,9 @@ def main(argv=None) -> int:
               "cv2.imread-parity BGR decode)")
         return 2
     if args.upscale != 1.0 and (not use_cnn or args.input_format
-                                == "patches8"):
+                                in ("patches8", "yuv420p")):
         print("--upscale requires --detector CNN with bgr/yuv420 ingest "
-              "(patches8 is pre-patchified at native resolution)")
+              "(patches8/yuv420p are pre-patchified at native resolution)")
         return 2
     if use_cnn:
         # Flagship family: same dispatch/collect contract, trained weights
@@ -150,8 +156,9 @@ def main(argv=None) -> int:
                 # the image (near-edge boxes otherwise leave the frame —
                 # ADVICE r3 #3; mirrors CNNDetector.run_directory)
                 if isinstance(frames, tuple):  # yuv420 planes (y, cb, cr)
-                    self._orig_hw = (int(frames[0].shape[1]),
-                                     int(frames[0].shape[2]))
+                    s = 8 if frames[0].ndim == 4 else 1  # yuv420p patches
+                    self._orig_hw = (int(frames[0].shape[1]) * s,
+                                     int(frames[0].shape[2]) * s)
                     return cnn.dispatch_yuv(*frames)
                 scale = 8 if frames.shape[-1] == 192 else 1  # patches8
                 self._orig_hw = (int(frames.shape[1]) * scale,

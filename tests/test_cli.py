@@ -233,3 +233,30 @@ def test_serve_cli_rejects_upscale_without_cnn(tmp_path):
              "--once")
     assert r.returncode == 2
     assert "--upscale requires" in r.stdout
+
+
+def test_recognition_proposals_auto_default():
+    """--proposals defaults to 'auto': CNN when the flagship weights exist
+    (the golden-beating recipe is the default CLI behavior, VERDICT r4 #4),
+    MSER parity fallback otherwise."""
+    import argparse
+    import os
+
+    import main_recognition as mr
+
+    ns = argparse.Namespace(
+        proposals="auto",
+        cnn_params="/nonexistent/params.npz")
+    assert mr._parse_cnn_proposals(ns) is None  # falls back to MSER
+
+    real = "artifacts/cnn_detector/params.npz"
+    if not os.path.exists(real):
+        return
+    ns = argparse.Namespace(proposals="auto", cnn_params=real)
+    det = mr._parse_cnn_proposals(ns)
+    assert det is not None
+    assert ns.proposals == "CNN"
+    assert abs(det.cfg.score_threshold - 0.10) < 1e-9
+
+    ns = argparse.Namespace(proposals="MSER", cnn_params=real)
+    assert mr._parse_cnn_proposals(ns) is None
