@@ -143,13 +143,16 @@ def find_plan(h: int, w: int, scale: float, *, a_max: int = 24,
     return best
 
 
-def _height_taps(t: int, a: int, sb: int, n: int) -> np.ndarray:
-    """[sb, 8, n+2] f32: weight of padded native row u for stem row t',
-    patch-row phase p — the bilinear 2-tap pattern of ops/upscale.py
-    (half-pixel centers, replicate edges) unrolled over one superblock.
+def _superblock_taps(t: int, a: int, sb: int, n: int) -> np.ndarray:
+    """[sb, 8, n+2] f32: weight of padded native offset u for patch phase
+    (t', p) — the bilinear 2-tap pattern of ops/upscale.py (half-pixel
+    centers, replicate edges) unrolled over one superblock.  Axis-agnostic:
+    the same matrix drives the width pass (as upscale weights) and the
+    height pass (folded with the stem kernel).
 
     ``u`` indexes the 1-replicate-padded native axis (offset +1), so
-    u = n and n+1 are the next superblock's first rows.
+    u = 0 is the previous superblock's last element and u = n, n+1 are
+    the next superblock's first two.
     """
     phases = sb * 8
     tap = np.zeros((phases, n + 2), np.float64)
@@ -174,36 +177,134 @@ def fused_upscale_stem(frames_u8: jax.Array, kernel: jax.Array,
     HWIO, k = ky*24 + kx*3 + c).  Returns relu activations
     [B, h_out/8, w_out/8, F] in ``dtype`` — bit-compatible input for
     Conv_1 of the v3 trunk.
+
+    Layout is the whole game here (profiled on-chip, PARITY.md round 5):
+
+    * The width pass emits **[B, h, (kx, c)=24, w_out/8]** — phase-major,
+      patch-col minor — via one banded einsum whose output order makes
+      the patch split free AND makes the later row-window concat write
+      contiguous 11.5 KB slabs.  (The first formulation emitted the
+      frame-natural [B, h, w_out, 3]; packing its row windows then wrote
+      48-byte strided chunks and cost 33 ms/128 frames on its own.)
+    * Row windows come from clamped stride-n slices of that tensor — the
+      frame is NEVER physically padded (jnp.pad edge on the u8 input
+      measured 5.3 ms/128): row -1 and rows >= h resolve to the
+      replicate-edge rows by slice arithmetic.
+    * The stem matmul is then one big-K einsum
+      [B*g*wq, (n+2)*24] x [(n+2)*24, sb*F] against the composite
+      tap x kernel weights — MXU-shaped, no hidden transposes.
     """
-    b = frames_u8.shape[0]
+    b, h, w, _ = frames_u8.shape
     f = kernel.shape[-1]
+    n, sb = plan.n, plan.sb
     x = frames_u8
-    if plan.h_pad > plan.h or plan.w_pad > plan.w:
-        x = jnp.pad(x, ((0, 0), (0, plan.h_pad - plan.h),
-                        (0, plan.w_pad - plan.w), (0, 0)), mode="edge")
+    if plan.w_pad > w:  # width alignment pad only (zero for GTSDB 1360)
+        x = jnp.concatenate(
+            [x, jnp.repeat(x[:, :, -1:], plan.w_pad - w, axis=2)], axis=2)
 
-    # width: phase-sliced banded pass (f32), normalize, free patch split
-    y = x
-    if plan.w_out != plan.w_pad:
-        y = _upscale_axis(y, 2, plan.w_out)
-    y = (y.astype(jnp.float32) * np.float32(1.0 / 255.0)
-         - np.float32(0.5)).astype(dtype)
+    # ---- width: a 3-tap conv over the BLOCK grid.  The frame reshapes
+    # freely to [b, h, g_w, 3n] (one n-column block per position, channels
+    # = (col, c)); block g's upscale window is its own n columns plus one
+    # column from each neighbor block, so the whole banded pass is a
+    # [1, 3] conv with K = 9n, O = sb*24 — XLA tiles it in VMEM with no
+    # materialized window tensor (the concat/einsum formulations measured
+    # 7-23 ms/128 frames in relayout alone; PARITY.md round 5).  Output
+    # channels are ordered (t, kx, c), so [.., g_w, sb*24] reshapes freely
+    # to the [b, h, w_out/8, 24] NHWC layout the height conv consumes.
+    from jax import lax
+
+    g_w = plan.w_pad // n
+    xr = x.reshape(b, h, g_w, 3 * n).astype(dtype)
+    kw = jnp.asarray(_width_conv_weights(plan)).astype(dtype)
+    dnw = lax.conv_dimension_numbers(xr.shape, kw.shape,
+                                     ("NHWC", "HWIO", "NHWC"))
+    y = lax.conv_general_dilated(xr, kw, (1, 1), ((0, 0), (1, 1)),
+                                 dimension_numbers=dnw)  # [b, h, g_w, sb*24]
+    y = (y * jnp.asarray(1.0 / 255.0, dtype)
+         - jnp.asarray(0.5, dtype))
     wq = plan.w_out // _PATCH
-    y = y.reshape(b, plan.h_pad, wq, 3 * _PATCH)          # q = kx*3 + c
+    y = y.reshape(b, h, wq, 3 * _PATCH)      # [b, h, j, q]: NHWC, free
 
-    # height + stem: one einsum per superblock slab against the composite
-    # tap x kernel weights; two rank-1 terms for the cross-block taps
-    tapm = jnp.asarray(_height_taps(plan.t, plan.a, plan.sb, plan.n))
+    # The conv's zero padding dropped the replicate-column contributions
+    # of the two edge blocks.  Everything downstream is LINEAR, so instead
+    # of patching them into y (an in-place add that copies the whole
+    # 1.2 GB tensor — measured 4.7 ms/128), the corrections become tiny
+    # [b, h, sb, 24] tensors pushed through the same height stage and
+    # added on its 240x-smaller output.  Normalized WITHOUT the -0.5
+    # (the affine constant lives in the main term only).
+    taps = jnp.asarray(_superblock_taps(plan.t, plan.a, sb, n))
+    eyec = jnp.eye(3, dtype=jnp.float32)
+    wl = jnp.einsum("tk,cd->ctkd", taps[:, :, 0],
+                    eyec).reshape(3, sb * 3 * _PATCH)
+    wr = jnp.einsum("tk,cd->ctkd", taps[:, :, n + 1],
+                    eyec).reshape(3, sb * 3 * _PATCH)
+    scale = np.float32(1.0 / 255.0)
+    cl = jnp.einsum("bhc,cm->bhm", xr[:, :, 0, :3].astype(jnp.float32),
+                    wl * scale).reshape(b, h, sb, 3 * _PATCH).astype(dtype)
+    cr = jnp.einsum("bhc,cm->bhm", xr[:, :, -1, 3 * n - 3:]
+                    .astype(jnp.float32),
+                    wr * scale).reshape(b, h, sb, 3 * _PATCH).astype(dtype)
+
+    # ---- height + stem: ONE strided conv against the composite
+    # tap x kernel weights (kernel [n+2, 1, 24, sb*F], stride n) — XLA's
+    # conv lowering tiles the overlapping windows in VMEM, where every
+    # explicit formulation measured 30+ ms of relayout (PARITY.md r5).
+    # The replicate padding is algebraic: the conv zero-pads (native,
+    # free), and the windows that touch padding get their edge rows added
+    # back as tiny outer-product corrections.
     k0 = kernel.reshape(_PATCH, 3 * _PATCH, f).astype(jnp.float32)
-    kh = jnp.einsum("tpu,pqf->tuqf", tapm, k0).astype(dtype)  # [sb,n+2,q,f]
+    kh = jnp.einsum("sku,kqf->uqsf", taps, k0)       # [n+2, 24, sb, f]
+    kh_conv = kh.reshape(n + 2, 1, 3 * _PATCH, sb * f).astype(dtype)
+    g_h = plan.h_pad // n
 
-    yp = jnp.concatenate([y[:, :1], y, y[:, -1:]], axis=1)  # replicate ±1
-    g = plan.h_pad // plan.n
-    main = yp[:, : plan.n * g].reshape(b, g, plan.n, wq, 3 * _PATCH)
-    e0 = yp[:, plan.n:: plan.n][:, :g]        # u = n   (next block row 0)
-    e1 = yp[:, plan.n + 1:: plan.n][:, :g]    # u = n+1 (next block row 1)
-    out = jnp.einsum("bgujq,tuqf->bgtjf", main, kh[:, : plan.n])
-    out = out + jnp.einsum("bgjq,tqf->bgtjf", e0, kh[:, plan.n])
-    out = out + jnp.einsum("bgjq,tqf->bgtjf", e1, kh[:, plan.n + 1])
-    out = out.reshape(b, g * plan.sb, wq, f)
+    def hstage(t):
+        """Height conv + replicate-row corrections (linear in t)."""
+        dn = lax.conv_dimension_numbers(t.shape, kh_conv.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+        o = lax.conv_general_dilated(
+            t, kh_conv, (n, 1), ((1, plan.h_pad + 1 - h), (0, 0)),
+            dimension_numbers=dn)                    # [b, g_h, jw, sb*f]
+        # top: window 0's u=0 tap is native row -1 == row 0 (replicate)
+        top = jnp.einsum("bjq,qm->bjm", t[:, 0].astype(jnp.float32),
+                         kh[0].reshape(3 * _PATCH, sb * f))
+        o = o.at[:, 0].add(top.astype(dtype))
+        # bottom: windows whose rows fall past the frame read the
+        # replicate rows (all equal row h-1); one summed term per window
+        for i in range(g_h - 1, -1, -1):
+            missing = [u for u in range(n + 2) if n * i + u - 1 >= h]
+            if not missing:
+                break
+            kh_i = kh[missing[0]:].sum(axis=0).reshape(3 * _PATCH, sb * f)
+            corr = jnp.einsum("bjq,qm->bjm",
+                              t[:, h - 1].astype(jnp.float32), kh_i)
+            o = o.at[:, i].add(corr.astype(dtype))
+        return o
+
+    out = hstage(y)
+    out = out.at[:, :, :sb].add(hstage(cl))
+    out = out.at[:, :, -sb:].add(hstage(cr))
+    out = out.reshape(b, g_h, wq, sb, f).transpose(0, 1, 3, 2, 4)
+    out = out.reshape(b, g_h * sb, wq, f)
     return jax.nn.relu(out + bias.astype(dtype))
+
+
+def _width_conv_weights(plan: FusedUpscalePlan) -> np.ndarray:
+    """[1, 3, 3n, sb*24] HWIO kernel for the width pass as a 3-tap conv
+    over the n-column block grid.
+
+    Input channels are (col-in-block, c); tap dg=0 is the PREVIOUS block
+    (only its last column carries weight — the u=0 bilinear tap), dg=1 the
+    block itself (u = 1..n), dg=2 the next block (first column, u = n+1).
+    Output channels are (t, kx, c) so the conv result reshapes freely to
+    the [.., w_out/8, 24] layout."""
+    n, sb = plan.n, plan.sb
+    taps = _superblock_taps(plan.t, plan.a, sb, n)     # [sb, 8, n+2]
+    w = np.zeros((3, n, 3, sb, _PATCH, 3), np.float64)  # [dg,col,c,t,k,c']
+    for t in range(sb):
+        for k in range(_PATCH):
+            for c in range(3):
+                w[0, n - 1, c, t, k, c] = taps[t, k, 0]
+                for u in range(1, n + 1):
+                    w[1, u - 1, c, t, k, c] = taps[t, k, u]
+                w[2, 0, c, t, k, c] = taps[t, k, n + 1]
+    return w.reshape(1, 3, 3 * n, sb * _PATCH * 3).astype(np.float32)

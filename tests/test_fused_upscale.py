@@ -49,11 +49,11 @@ def test_plan_alignment_invariants():
         assert p.sb == math.lcm(8, p.t) // 8
 
 
-def test_height_taps_partition_of_unity():
+def test_superblock_taps_partition_of_unity():
     for t, a in [(24, 17), (8, 5), (2, 1), (16, 11)]:
         sb = math.lcm(8, t) // 8
         n = sb * 8 * a // t
-        tap = fu._height_taps(t, a, sb, n)
+        tap = fu._superblock_taps(t, a, sb, n)
         assert tap.shape == (sb, 8, n + 2)
         np.testing.assert_allclose(tap.sum(axis=-1), 1.0, atol=1e-6)
 
