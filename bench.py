@@ -442,10 +442,14 @@ def main(argv=None) -> int:
     # 3 batches ≈ 40 s through this container's ~32 MB/s relay (the upload
     # dominates here; see PARITY.md round-4 input-feed note).
     parser.add_argument("--fed_batches", type=int, default=3)
-    parser.add_argument("--upscale", type=float, default=1.412,
+    parser.add_argument("--upscale", type=float, default=1.6,
                         help="upscaled-inference factor for the *_upscaled "
-                        "scopes (on-device bilinear fused into the detect "
-                        "jit, boxes in native coordinates)")
+                        "scopes.  1.6 -> the fused 8/5 plan "
+                        "(ops/fused_upscale.py: upscale+patchify+stem as "
+                        "banded convs on native pixels, no upscaled frame) "
+                        "— the round-5 quality flagship: F1 0.85 / "
+                        "AP 0.95 at >6,000 fps int8, boxes in native "
+                        "coordinates")
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--size", choices=["gtsdb", "1080p"], default="gtsdb")
     parser.add_argument("--model", choices=["auto", "cnn", "mser"],

@@ -167,9 +167,9 @@ def main(argv=None) -> int:
                         "boxes mapped back to native coordinates; for "
                         "fusable ratios the resize folds into the stem "
                         "(ops/fused_upscale.py) and costs almost nothing. "
-                        "1.412 runs native GTSDB frames at the 1080p "
-                        "operating point (measured F1 0.81 -> 0.84, "
-                        "AP 0.853 -> 0.942 — PARITY.md).  bgr/yuv420 "
+                        "1.6 is the measured quality flagship on native "
+                        "GTSDB frames: F1 0.81 -> 0.85, AP 0.857 -> 0.954 "
+                        "at >5,900 fps (PARITY.md round 5).  bgr/yuv420 "
                         "ingest only")
     parser.add_argument("--out", default="resultado.txt")
     parser.add_argument("--out_imgs", default="resultado_imgs")

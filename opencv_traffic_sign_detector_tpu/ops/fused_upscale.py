@@ -15,25 +15,39 @@ activation is LINEAR, so the chain
 is ONE linear map from native pixels to stem activations.  This module
 evaluates that map directly; the upscaled frame never exists.
 
-Structure exploited (all shapes static, everything MXU-shaped):
+Structure exploited (all shapes static, everything a conv XLA tiles in
+VMEM — five formulations were profiled on-chip to get here, PARITY.md
+round 5):
 
 * **Width**: a rational scale T/A upsamples each block of A input columns
   to T output columns with a fixed 2-tap phase pattern (ops/upscale.py:
-  _phase_plan).  Output columns are emitted in order, so the 8-column
-  patch split is a FREE reshape of the width pass's output — width costs
-  one tiny banded einsum (~2 taps/pixel), no relayout.
+  _phase_plan).  The frame reshapes FREELY to [B, h, w/n, 3n] (one
+  n-column superblock per position, n = lcm(8,T)*A/T/8... see find_plan),
+  and the whole banded pass becomes a **[1, 3] conv over the block grid**
+  (each block needs one column from each neighbor).  Output channels are
+  ordered (t, kx, c) so the result reshapes freely to [B, h, w_out/8, 24]
+  — upscaled columns already split into stem patch columns.
 * **Height + stem**: stem row i consumes upscaled rows [8i, 8i+8).  With
-  S = lcm(8, T)/8, the tap pattern of S consecutive stem rows repeats
-  every N = 8*S*A/T native rows, so the height pass and the stem's
-  K=192 matmul combine into ONE einsum against a composite weight
-  ``KH[t, u, q, f] = Σ_p tap[t*8+p, u] * K[p, q, f]`` — contraction
-  (N+2)*24 per superblock (456 for the 24/17 point), emitted straight
-  in stem-activation layout.  No patchify exists anywhere.
+  sb = lcm(8, T)/8, the tap pattern of sb consecutive stem rows repeats
+  every n native rows, so the height pass and the stem's K=192 matmul
+  combine into ONE composite weight ``KH[u, q, sb*F]`` applied as a
+  **stride-n conv with an (n+2)-row kernel** — XLA's conv lowering keeps
+  the overlapping windows in VMEM (every explicit window-packing
+  formulation measured 30+ ms/128 frames in HBM relayout alone).
+* **Replicate padding is algebraic**: the convs zero-pad (free), and the
+  few windows that touch padding get their replicate-edge contribution
+  back as tiny outer-product corrections routed through the same linear
+  height stage — nothing ever copies the frame or the intermediate.
 
-The shipped quality point ``--upscale 1.412`` maps to T/A = **24/17 =
-1.41176**: exactly 1360 -> 1920 on width (zero pad), 800 -> (pad 16 rows)
-816 -> 1152 on height — aspect-preserving, within 0.03% of the measured
-sweep optimum (PARITY.md round-4 sweep: AP 0.942 at "1.412" = 1920x1136).
+Shipped operating points on 800x1360 GTSDB frames (128-frame device
+queue, v5e-1): ``--upscale 1.6`` -> plan 8/5 (1280x2176 virtual), the
+round-5 quality flagship — **F1 0.85 / AP 0.954 float, 0.85/0.950 int8 at
+5,914 / 6,334 fps** with the zoom-1.75-trained checkpoint, vs 2,070 fps
+(AP 0.936) for round 4's materialize-then-forward path.  ``--upscale
+1.412`` -> plan 24/17 (1152x1920), within 0.03% of round 4's protocol
+scale.  The quality-vs-scale landscape is jagged (±0.03 AP between
+nearby ratios — grid-phase jitter over the 150-frame protocol), so
+operating points are picked by measured sweep, not interpolation.
 
 Semantics vs the two-stage product path (upscale_bilinear_u8 -> stem):
 identical linear map evaluated in a different association; the ONLY
@@ -178,21 +192,11 @@ def fused_upscale_stem(frames_u8: jax.Array, kernel: jax.Array,
     [B, h_out/8, w_out/8, F] in ``dtype`` — bit-compatible input for
     Conv_1 of the v3 trunk.
 
-    Layout is the whole game here (profiled on-chip, PARITY.md round 5):
-
-    * The width pass emits **[B, h, (kx, c)=24, w_out/8]** — phase-major,
-      patch-col minor — via one banded einsum whose output order makes
-      the patch split free AND makes the later row-window concat write
-      contiguous 11.5 KB slabs.  (The first formulation emitted the
-      frame-natural [B, h, w_out, 3]; packing its row windows then wrote
-      48-byte strided chunks and cost 33 ms/128 frames on its own.)
-    * Row windows come from clamped stride-n slices of that tensor — the
-      frame is NEVER physically padded (jnp.pad edge on the u8 input
-      measured 5.3 ms/128): row -1 and rows >= h resolve to the
-      replicate-edge rows by slice arithmetic.
-    * The stem matmul is then one big-K einsum
-      [B*g*wq, (n+2)*24] x [(n+2)*24, sb*F] against the composite
-      tap x kernel weights — MXU-shaped, no hidden transposes.
+    Both passes are CONVS so XLA keeps the overlapping windows in VMEM
+    (see the module docstring for the design rationale and the on-chip
+    numbers of the rejected formulations); replicate padding is applied
+    algebraically via small linear correction terms, so neither the u8
+    frame nor the [B, h, w_out/8, 24] intermediate is ever copied.
     """
     b, h, w, _ = frames_u8.shape
     f = kernel.shape[-1]

@@ -29,6 +29,12 @@ def main():
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--lr", type=float, default=2.5e-4)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--min_zoom", type=float, default=0.75)
+    parser.add_argument("--max_zoom", type=float, default=1.4,
+                        help="upper scale-jitter bound; raise to ~1.75 so "
+                        "the upscaled-inference operating points "
+                        "(--upscale 1.41-1.6, ops/fused_upscale.py) stay "
+                        "inside the training scale distribution")
     parser.add_argument("--threshold", type=float, default=0.35)
     # default = the shipped flagship arch so a quickstart retrain
     # reproduces it (ADVICE r3 #1); the arch + threshold tags are also
@@ -68,7 +74,8 @@ def main():
               f"({time.time() - t0:.1f}s)", flush=True)
 
         cfg = ct.TrainConfig(batch_size=args.batch, steps=args.steps,
-                             lr=args.lr, seed=args.seed)
+                             lr=args.lr, seed=args.seed,
+                             min_zoom=args.min_zoom, max_zoom=args.max_zoom)
         t0 = time.time()
         params, metrics = ct.train(data, model_cfg, cfg)
         print(f"trained {args.steps} steps in {time.time() - t0:.1f}s")
