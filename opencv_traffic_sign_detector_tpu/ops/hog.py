@@ -47,8 +47,15 @@ def _spatial_weights() -> np.ndarray:
     w = np.zeros((_BLK, _BLK, _CPB, _CPB), np.float64)
     for i in range(_BLK):
         for j in range(_BLK):
-            di = i - _BLK * 0.5 + 0.5
-            dj = j - _BLK * 0.5 + 0.5
+            # OpenCV centers the Gaussian at blockSize*0.5 = (8, 8), NOT
+            # at the pixel-center (7.5, 7.5) — hog.cpp HOGCache::init
+            # `di = i - blockSize.height*0.5f`.  The +0.5 variant this
+            # module originally used produced a systematic ~0.03 max
+            # descriptor deviation, exposed the moment a true cv2 oracle
+            # existed (tests/fixtures/cv2_hog_golden.npz, generated
+            # against the system OpenCV 4.6 C++ HOGDescriptor).
+            di = i - _BLK * 0.5
+            dj = j - _BLK * 0.5
             gauss = math.exp(-(di * di + dj * dj) * scale)
             cy = (i + 0.5) / _CELL - 0.5
             cx = (j + 0.5) / _CELL - 0.5
@@ -97,13 +104,18 @@ def hog_descriptors(crops: jnp.ndarray) -> jnp.ndarray:
 
     wts = jnp.asarray(_spatial_weights())  # [16,16,2,2]
     block_hists = []
-    for by in range(_NBLOCKS):
-        for bx in range(_NBLOCKS):
+    # cv2 descriptor layout is COLUMN-major at both levels: blocks scan
+    # x-outer (hog.cpp HOGCache::getBlock indexing) and cells within a
+    # block likewise — pinned by the cv2_hog_golden.npz oracle (values
+    # matched exactly under this permutation, elementwise 87% off in
+    # row-major).
+    for bx in range(_NBLOCKS):
+        for by in range(_NBLOCKS):
             blk = votes[
                 ..., by * _STRIDE : by * _STRIDE + _BLK,
                 bx * _STRIDE : bx * _STRIDE + _BLK, :,
             ]  # [N,16,16,9]
-            h = jnp.einsum("nijb,ijyx->nyxb", blk, wts)  # [N,2,2,9]
+            h = jnp.einsum("nijb,ijyx->nxyb", blk, wts)  # [N,cx,cy,9]
             block_hists.append(h.reshape(h.shape[0], -1))  # [N,36]
 
     blocks = jnp.stack(block_hists, axis=1)  # [N, 9, 36]

@@ -24,6 +24,7 @@ Reference HOG configuration (the reference project's
 from __future__ import annotations
 
 import argparse
+import os
 
 import numpy as np
 
@@ -46,16 +47,53 @@ def fixture_inputs() -> np.ndarray:
     return crops
 
 
+def native_descriptors(crops) -> "np.ndarray":
+    """True cv::HOGDescriptor output via the SYSTEM OpenCV 4.6 C++ API.
+
+    pip is unreachable (zero egress — attempt recorded in PARITY.md r5)
+    and python cv2 is 5.0, but the container ships OpenCV 4.6 C++ dev
+    libraries: runtime/hog_golden.cpp computes the reference-exact
+    descriptors (REC/constants.py:14 config) out of process."""
+    import subprocess
+    import tempfile
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(here, "opencv_traffic_sign_detector_tpu", "runtime",
+                       "hog_golden.cpp")
+    exe = os.path.join(tempfile.mkdtemp(), "hog_golden")
+    subprocess.run(
+        ["g++", "-O2", "-o", exe, src, "-I/usr/include/opencv4",
+         "-lopencv_objdetect", "-lopencv_core", "-lopencv_imgproc"],
+        check=True)
+    payload = np.int32(len(crops)).tobytes() + crops.tobytes()
+    r = subprocess.run([exe], input=payload, stdout=subprocess.PIPE,
+                       check=True)
+    return np.frombuffer(r.stdout, np.float32).reshape(len(crops), 324)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="cv2_hog_golden.npz")
+    ap.add_argument("--native", action="store_true",
+                    help="use the system OpenCV 4.6 C++ HOGDescriptor "
+                         "(runtime/hog_golden.cpp) instead of python cv2")
     args = ap.parse_args()
+
+    crops = fixture_inputs()
+    if args.native:
+        desc = native_descriptors(crops)
+        assert desc.shape == (N_CROPS, 324), desc.shape
+        np.savez_compressed(args.out, crops=crops, descriptors=desc,
+                            cv2_version=np.array("4.6.0-system-cpp"))
+        print(f"wrote {args.out}: {desc.shape} descriptors from system "
+              "OpenCV 4.6 C++")
+        return 0
 
     import cv2
 
     if not hasattr(cv2, "HOGDescriptor"):
         print(f"cv2 {cv2.__version__} lacks HOGDescriptor — run this with "
-              "OpenCV 4.x")
+              "OpenCV 4.x (or use --native)")
         return 1
     hog = cv2.HOGDescriptor(
         (32, 32), (16, 16), (8, 8), (8, 8), 9,

