@@ -28,7 +28,10 @@ round-4 input-feed note).
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
+import numpy as np
 
 # jdcolor.c build_ycc_rgb_table constants: FIX(x) = round(x * 2^16).
 _FIX_1_40200 = 91881
@@ -57,34 +60,71 @@ def _fancy_upsample_plane(c: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(*out.shape[:-3], out.shape[-3], -1)
 
 
-def _fancy_upsample_patches(c_p: jnp.ndarray) -> jnp.ndarray:
-    """Patchified chroma [B, P, Q, 16] (k = cy*4 + cx) -> upsampled luma-grid
-    patches [B, P, Q, 64] (k = ky*8 + kx), int32 in 0..255.
+@functools.cache
+def _fancy_kernel_and_bias() -> tuple:
+    """[3, 3, 16, 64] conv kernel + [64] bias for h2v2 fancy upsample on
+    the patch grid, and only ONE nonlinearity remains: >> 4 at the end.
 
-    Same h2v2 fancy-upsample integer math as ``_fancy_upsample_plane`` but
-    evaluated entirely in patch space: the cross-patch taps (row -1 is the
-    previous patch's row 3, etc.) come from patch-grid shifted views, so no
-    full-resolution chroma plane is ever materialized — the whole 4:2:0 ->
-    patches8 conversion keeps the loader's zero-relayout property."""
-    c = c_p.astype(jnp.int32).reshape(*c_p.shape[:-1], 4, 4)
-    # vertical neighbors: cross patch rows, frame edges replicate (libjpeg
-    # clamps row -1 to row 0 and row H-1+1 to row H-1)
-    prev3 = jnp.concatenate([c[:, :1, :, 0:1], c[:, :-1, :, 3:4]], axis=1)
-    next0 = jnp.concatenate([c[:, 1:, :, 0:1], c[:, -1:, :, 3:4]], axis=1)
-    up = jnp.concatenate([prev3, c[..., :3, :]], axis=-2)
-    down = jnp.concatenate([c[..., 1:, :], next0], axis=-2)
-    v = jnp.stack([3 * c + up, 3 * c + down], axis=-2)  # [.., 4, 2, 4]
-    v = v.reshape(*v.shape[:-3], 8, 4)
-    # horizontal neighbors: cross patch cols
-    prevc = jnp.concatenate([v[:, :, :1, :, 0:1], v[:, :, :-1, :, 3:4]],
-                            axis=2)
-    nextc = jnp.concatenate([v[:, :, 1:, :, 0:1], v[:, :, -1:, :, 3:4]],
-                            axis=2)
-    left = jnp.concatenate([prevc, v[..., :3]], axis=-1)
-    right = jnp.concatenate([v[..., 1:], nextc], axis=-1)
-    out = jnp.stack([(3 * v + left + 8) >> 4, (3 * v + right + 7) >> 4],
-                    axis=-1)                            # [.., 8, 4, 2]
-    return out.reshape(*c_p.shape[:-1], 64)
+    libjpeg's two passes are (vertical, no rounding) then (horizontal,
+    (3v + other + 8|7) >> 4), so the whole upsample is
+    floor((K * c + bias) / 16) with integer tap products {9, 3, 3, 1} —
+    exactly representable in f32 (sums <= 4095), i.e. one MXU conv.  The
+    stacked/shifted elementwise formulation this replaces ran at 2,648
+    fps device-queue vs patches8's 18,349 (PARITY.md round 5): every op
+    lived on 16-wide minor dims, wasting 7/8 of the vector lanes."""
+    k = np.zeros((3, 3, 16, 64), np.float32)
+    bias = np.zeros(64, np.float32)
+    for ky in range(8):
+        r = ky // 2
+        vtaps = [(r, 3.0), (r - 1 if ky % 2 == 0 else r + 1, 1.0)]
+        for kx in range(8):
+            cc = kx // 2
+            htaps = [(cc, 3.0), (cc - 1 if kx % 2 == 0 else cc + 1, 1.0)]
+            bias[ky * 8 + kx] = 8.0 if kx % 2 == 0 else 7.0
+            for ry, wy in vtaps:
+                dy, cy = divmod(ry + 4, 4)      # patch offset in {0,1,2}
+                for cx_, wx in htaps:
+                    dx, cx = divmod(cx_ + 4, 4)
+                    k[dy, dx, cy * 4 + cx, ky * 8 + kx] += wy * wx
+    return k, bias
+
+
+def _pad_chroma_patches(c_p: jnp.ndarray) -> jnp.ndarray:
+    """[B, P, Q, 16] -> [B, P+2, Q+2, 16] halo with libjpeg's CLAMP
+    semantics: the conv only ever reads row 3 of the top halo patch,
+    row 0 of the bottom one, col 3 of the left, col 0 of the right — each
+    is set to the frame's replicated edge row/col; everything else is 0
+    (never read)."""
+    b, p, q, _ = c_p.shape
+    z12 = jnp.zeros((b, 1, q, 12), c_p.dtype)
+    top = jnp.concatenate([z12, c_p[:, :1, :, 0:4]], axis=-1)
+    bot = jnp.concatenate([c_p[:, -1:, :, 12:16], z12], axis=-1)
+    cv = jnp.concatenate([top, c_p, bot], axis=1)       # [B, P+2, Q, 16]
+    c4 = cv.reshape(b, p + 2, q, 4, 4)
+    z3 = jnp.zeros((b, p + 2, 1, 4, 3), c_p.dtype)
+    left = jnp.concatenate([z3, c4[:, :, :1, :, 0:1]], axis=-1)
+    right = jnp.concatenate([c4[:, :, -1:, :, 3:4], z3], axis=-1)
+    ch = jnp.concatenate([left, c4, right], axis=2)
+    return ch.reshape(b, p + 2, q + 2, 16)
+
+
+def _fancy_upsample_patches(c_p: jnp.ndarray) -> jnp.ndarray:
+    """Patchified chroma [B, P, Q, 16] (k = cy*4 + cx) -> upsampled
+    luma-grid patches [B, P, Q, 64] (k = ky*8 + kx), int32 in 0..255 —
+    bit-identical to ``_fancy_upsample_plane`` on the same data, computed
+    as ONE 3x3 conv over the patch grid (see _fancy_kernel_and_bias)."""
+    from jax import lax
+
+    k, bias = _fancy_kernel_and_bias()
+    cp = _pad_chroma_patches(c_p).astype(jnp.float32)
+    kj = jnp.asarray(k)
+    dn = lax.conv_dimension_numbers(cp.shape, kj.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    acc = lax.conv_general_dilated(cp, kj, (1, 1), "VALID",
+                                   dimension_numbers=dn)
+    # exact: integer values <= 4095 in f32; /16 is a power-of-two scale
+    return jnp.floor((acc + jnp.asarray(bias)) * (1.0 / 16.0)).astype(
+        jnp.int32)
 
 
 def yuv420_patches_to_bgr_patches8(
