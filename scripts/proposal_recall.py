@@ -38,6 +38,16 @@ def main(argv=None) -> int:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--limit", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--fused_sweep", type=int, default=1,
+                    help="0 = the XLA level sweep, which (unlike the "
+                    "fused Pallas kernel's per-pixel level collapse) can "
+                    "emit MULTIPLE nested regions per anchor — measured "
+                    "recall vs cv2's own box set 0.42 -> 0.75-0.76 with "
+                    "--level_step 3 --max_regions 1024 (PARITY.md r5)")
+    ap.add_argument("--vs_cv2", action="store_true",
+                    help="measure recall against cv2.MSER's own "
+                    "aspect-filtered grown box set instead of GT "
+                    "(VERDICT r4 #5's metric)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -67,6 +77,7 @@ def main(argv=None) -> int:
         max_variation=args.max_variation, downscale=args.downscale,
         ccl_iters=args.ccl_iters, ccl_jumps=0, level_step=args.level_step,
         max_regions=args.max_regions, refine_scan_passes=args.refine_scan,
+        fused_sweep=bool(args.fused_sweep),
     )
 
     gt = load_ground_truth(os.path.join(args.test_path, "gt.txt"),
@@ -74,6 +85,39 @@ def main(argv=None) -> int:
     by_frame: dict[str, list] = {}
     for b in gt:
         by_frame.setdefault(b.filename, []).append(b)
+
+    cv2_boxes: dict[str, list] | None = None
+    if args.vs_cv2:
+        # target set = cv2.MSER's own proposals after the reference's
+        # aspect filter + 1.15 grow (DET/source.py:114,155-174) on the
+        # reference-exact enhanced gray
+        import cv2 as _cv2
+
+        from opencv_traffic_sign_detector_tpu.data.gt import GroundTruthBox
+
+        _mser = _cv2.MSER_create(delta=args.delta, min_area=args.min_area,
+                                 max_area=args.max_area,
+                                 max_variation=args.max_variation)
+        _lut = (np.clip(((np.arange(256) / 255.0) ** 0.5) * 255.0,
+                        0, 255)).astype(np.uint8)
+
+        def _cv2_props(img):
+            g = _cv2.cvtColor(img, _cv2.COLOR_BGR2GRAY)
+            g = _cv2.createCLAHE(clipLimit=2.0).apply(g)
+            g = _lut[_cv2.GaussianBlur(g, (3, 3), 0)]
+            out = []
+            for x, y, ww, hh in _mser.detectRegions(g)[1]:
+                ar = ww / hh if hh else 0.0
+                if not (0.8 < ar < 1.20):
+                    continue
+                cx, cy = x + ww / 2, y + hh / 2
+                nw, nh = ww * 1.15, hh * 1.15
+                out.append(GroundTruthBox(
+                    filename="", x1=int(max(0, cx - nw / 2)),
+                    y1=int(max(0, cy - nh / 2)), x2=int(cx + nw / 2),
+                    y2=int(cy + nh / 2), class_id=1))
+            return out
+        cv2_boxes = {}
 
     files = list_frame_files(args.test_path)
     if args.limit:
@@ -106,7 +150,9 @@ def main(argv=None) -> int:
         for j, fname in enumerate(chunk):
             bx = boxes[j][keep[j]]
             props_per_frame.append(len(bx))
-            for g in by_frame.get(fname, []):
+            targets = (by_frame.get(fname, []) if cv2_boxes is None
+                       else _cv2_props(frames[j]))
+            for g in targets:
                 n_gt += 1
                 cls = g.class_id
                 per_class.setdefault(cls, [0, 0])[0] += 1
